@@ -1,0 +1,96 @@
+"""Differentiability tests — the new capability vs the reference (SURVEY.md
+§0: "differentiability is a new requirement ... not a reference feature").
+
+Gradients of trace outputs w.r.t. the IOR field are checked against central
+finite differences on a small volume (build plan step 3, SURVEY.md §7).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from volumeraytracer_tpu.models.camera import render_transmittance
+from volumeraytracer_tpu.ops.fields import build_packed_field
+from volumeraytracer_tpu.ops import march as march_ops
+from volumeraytracer_tpu.types import FIX_ONE, STEP_CONST
+
+
+def _loss(ior_field, pos, dirs, budget):
+    packed = build_packed_field(ior_field)
+    inv = jnp.asarray([2.0, 2.0], jnp.float32)
+    res = march_ops.march_float(
+        packed,
+        None,
+        pos,
+        dirs,
+        budget,
+        bend_scale=inv / FIX_ONE,
+        step_scale=inv * (STEP_CONST / FIX_ONE / FIX_ONE),
+        chunk_steps=16,
+        differentiable=True,
+    )
+    # endpoint-based loss: sensitive to the bending along the whole march
+    return jnp.sum(res.end_position[:, 1])
+
+
+def test_grad_matches_finite_differences():
+    # 2D lens-ish field: IOR bump in the middle bends rays measurably
+    n = 24
+    y, x = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    ior = 1.0 + 0.3 * np.exp(-(((x - 12.0) ** 2 + (y - 14.0) ** 2) / 30.0))
+    ior = ior.astype(np.float32)
+
+    pos = jnp.asarray([[2.0, 10.0], [2.0, 13.0]], jnp.float32)
+    dirs = jnp.asarray([[16.0, 0.0], [16.0, 0.0]], jnp.float32)
+    budget = 512
+
+    loss = lambda f: _loss(f, pos, dirs, budget)
+    g = np.asarray(jax.grad(loss)(jnp.asarray(ior)))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0
+
+    # probe the largest-gradient voxels with central differences
+    flat = np.argsort(np.abs(g).ravel())[::-1][:4]
+    eps = 1e-3
+    for fi in flat:
+        i, j = np.unravel_index(fi, g.shape)
+        f_hi = ior.copy()
+        f_hi[i, j] += eps
+        f_lo = ior.copy()
+        f_lo[i, j] -= eps
+        fd = (float(loss(jnp.asarray(f_hi))) - float(loss(jnp.asarray(f_lo)))) / (2 * eps)
+        assert fd == pytest.approx(float(g[i, j]), rel=0.05, abs=1e-3), (i, j)
+
+
+def test_transmittance_grad():
+    """Gradient flows through the σ-field transmittance accumulator."""
+    n = 16
+    ior = np.ones((n, n, n), np.float32)
+    sigma = np.zeros((n - 2, n - 2, n - 2), np.float32)
+    sigma[5:9] = 0.1
+
+    pos = jnp.asarray([[2.0, 8.0, 8.0]], jnp.float32)
+    dirs = jnp.asarray([[16.0, 0.0, 0.0]], jnp.float32)
+
+    def loss(s):
+        out = render_transmittance(
+            build_packed_field(jnp.asarray(ior)),
+            jnp.asarray(ior),
+            pos,
+            dirs,
+            budget=64,
+            invscale=16.0,
+            sigma=s,
+            chunk_steps=16,
+        )
+        return jnp.sum(out["transmittance"])
+
+    t = float(loss(jnp.asarray(sigma)))
+    assert 0.0 < t < 1.0  # absorbed something
+    g = np.asarray(jax.grad(loss)(jnp.asarray(sigma)))
+    assert np.isfinite(g).all()
+    # more absorption ⇒ less transmittance: gradients along the beam negative
+    # (the ray runs at y = z = 7 in the cropped-grid frame)
+    assert g[6, 7, 7] < 0

@@ -1,0 +1,107 @@
+"""Physics integration test — port of the reference scaling test
+(/root/reference/src/cuda_volume_raytracer_test.h:11-73).
+
+A 1000×10×10 bar with IOR ramping 1→2 over the middle 980 layers; two
+counter-propagating rays with speed 0x10, invscale 2, 10^6-step budget.
+Asserts the optical-momentum invariant |v_end|/|v_start| = n(end)/n(start)
+and the pinned traversal step count 46718 ± 100 — for both the fixed-point
+parity path and the float path (the reference runs its fixed and float
+instantiations of the same test, cuda_volume_raytracer_test.h:72-73).
+"""
+
+import numpy as np
+import pytest
+
+from volumeraytracer_tpu import RaytraceScene
+from volumeraytracer_tpu.ops.interp import interpolate_host
+from volumeraytracer_tpu.types import FIX_ONE
+
+
+BOUNDS = (1000, 10, 10)
+
+
+def build_ramp_ior():
+    """IOR bar: first 10 layers n=1, last 10 layers n=2, linear ramp between
+    (cuda_volume_raytracer_test.h:23-28: n(i) = 1 + i/(1000-21) for the
+    middle layers, computed in float like the reference float instantiation)."""
+    ior = np.empty(BOUNDS, np.float32)
+    ior[:10] = 1.0
+    ior[-10:] = 2.0
+    for i in range(10, BOUNDS[0] - 10):
+        ior[i] = 1.0 + np.float32(i) / np.float32(BOUNDS[0] - 21)
+    return ior
+
+
+def ramp_instance():
+    ior = build_ramp_ior()
+    start_position = np.array(
+        [
+            [0x10000, 0x40000, 0x40000],
+            [0x10000 * BOUNDS[0] - 0x30000, 0x40000, 0x40000],
+        ],
+        np.uint32,
+    )
+    xdir = 16.0  # 0x10 * unit_value(float)=1 (cuda_volume_raytracer_test.h:16)
+    start_direction = np.array([[xdir, 0, 0], [-xdir, 0, 0]], np.float32)
+    return ior, start_position, start_direction
+
+
+@pytest.mark.parametrize("mode", ["fixed", "float"])
+def test_scaling(mode):
+    ior, start_position, start_direction = ramp_instance()
+    scene = RaytraceScene(ior)
+
+    if mode == "float":
+        start_position = start_position.astype(np.float64) / FIX_ONE
+    res = scene.trace_rays(
+        start_position,
+        start_direction,
+        invscale=[2.0, 2.0, 2.0],
+        iterations=1_000_000,
+        mode=mode,
+    )
+
+    end_pos = np.asarray(res.end_position)
+    end_dir = np.asarray(res.end_direction)
+    end_iter = np.asarray(res.end_iteration)
+
+    if mode == "fixed":
+        end_pos_fix = end_pos.astype(np.uint32)
+    else:
+        end_pos_fix = np.round(end_pos * FIX_ONE).astype(np.uint32)
+
+    # |v_end|/|v_start| must equal the interpolated IOR at the endpoint
+    # (cuda_volume_raytracer_test.h:48-49, tolerance 1e-5 for float dirs)
+    ior_at_end = interpolate_host(ior.astype(np.float64), BOUNDS, end_pos_fix)
+    tol = 1e-5 if mode == "fixed" else 1e-4  # f32 voxel positions accumulate
+    for r in range(2):
+        ratio = end_dir[r, 0] / start_direction[r, 0]
+        assert ratio == pytest.approx(ior_at_end[r], abs=tol), (
+            f"ray {r}: |v| ratio {ratio} vs n {ior_at_end[r]}"
+        )
+
+    # pinned traversal cost (cuda_volume_raytracer_test.h:51-52)
+    assert abs(float(end_iter[0]) - 46718.0) <= 100.0, end_iter
+    assert abs(float(end_iter[1]) - 46718.0) <= 100.0, end_iter
+
+
+def test_path_recording():
+    """trace_path records every step (≙ .cu:333,348); endpoints match the
+    non-recording trace and the path is back-filled with the end position."""
+    ior, start_position, start_direction = ramp_instance()
+    scene = RaytraceScene(ior)
+    budget = 2048
+    res = scene.trace_rays(
+        start_position,
+        start_direction,
+        invscale=[2.0, 2.0, 2.0],
+        iterations=budget,
+        trace_path=True,
+        mode="fixed",
+    )
+    path = np.asarray(res.path)
+    assert path.shape[1] >= budget
+    # first entry is the start position shifted into scene frame and back
+    np.testing.assert_array_equal(path[:, 0], start_position)
+    # last entry equals the end position
+    np.testing.assert_array_equal(path[:, -1], np.asarray(res.end_position))

@@ -1,0 +1,175 @@
+"""Cameras and differentiable image-plane rendering.
+
+The reference has no image-plane accumulation ("rendering" = one ray per
+pixel, read back endpoints/remaining light — SURVEY.md §0); this module adds
+the BASELINE north-star capability: pinhole cameras seeding one ray per
+pixel, a differentiable march, and per-pixel outputs (transmittance,
+endpoint, direction) that gradients can flow through back to the voxel
+fields.
+
+All constructs are pytrees so cameras can be vmapped/sharded (BASELINE
+configs 4-5: 8-16 cameras, tiles sharded over a mesh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import march as march_ops
+from ..ops.interp import interp_linear
+from ..types import FIX_ONE, STEP_CONST
+
+
+@dataclasses.dataclass(frozen=True)
+class PinholeCamera:
+    """A pinhole camera in voxel space (3D volumes).
+
+    Rays start on the image plane one focal length from ``origin`` along
+    ``forward`` and carry direction ``normalize(forward + u·right + v·up)``.
+    """
+
+    origin: Tuple[float, float, float]
+    forward: Tuple[float, float, float]
+    up: Tuple[float, float, float]
+    width: int
+    height: int
+    fov: float = 0.8  # half-tangent of the horizontal field of view
+    speed: float = 16.0  # |direction| at n=1 (reference test convention)
+
+    def rays(self) -> Tuple[jax.Array, jax.Array]:
+        """Generate (positions, directions) of shape (H*W, 3)."""
+        fwd = np.asarray(self.forward, np.float64)
+        fwd = fwd / np.linalg.norm(fwd)
+        up = np.asarray(self.up, np.float64)
+        right = np.cross(fwd, up)
+        right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+
+        u = (np.arange(self.width) + 0.5) / self.width * 2.0 - 1.0
+        v = (np.arange(self.height) + 0.5) / self.height * 2.0 - 1.0
+        uu, vv = np.meshgrid(u, v, indexing="xy")
+        aspect = self.height / self.width
+        d = (
+            fwd[None, None]
+            + self.fov * uu[..., None] * right[None, None]
+            + self.fov * aspect * vv[..., None] * up[None, None]
+        )
+        d = d / np.linalg.norm(d, axis=-1, keepdims=True) * self.speed
+        o = np.broadcast_to(np.asarray(self.origin, np.float64), d.shape)
+        return (
+            jnp.asarray(o.reshape(-1, 3), jnp.float32),
+            jnp.asarray(d.reshape(-1, 3), jnp.float32),
+        )
+
+
+def render_transmittance(
+    packed: jax.Array,
+    ior: jax.Array,
+    positions: jax.Array,
+    directions: jax.Array,
+    *,
+    budget: int,
+    invscale=2.0,
+    sigma: Optional[jax.Array] = None,
+    chunk_steps: int = 256,
+    differentiable: bool = True,
+) -> dict:
+    """Differentiable render: march rays through ``packed`` and return
+    per-ray outputs.
+
+    sigma: optional float absorption field (same grid as ``packed``); when
+    given, a *differentiable* transmittance T = exp(-Σ σ(x_k)·Δs_k) is
+    accumulated along the march (the float analogue of the reference's
+    uint32 brightness subtraction, cuda_volume_raytracer.cu:337-341).
+
+    Returns dict(end_position, end_direction, transmittance).
+    """
+    dim = positions.shape[-1]
+    inv = jnp.broadcast_to(jnp.asarray(invscale, jnp.float32), (dim,))
+    bend_scale = inv / float(FIX_ONE)
+    step_scale = inv * (STEP_CONST / float(FIX_ONE) / float(FIX_ONE))
+
+    # |v| = n initialisation (image_util.cpp:692-710)
+    pos = positions - 0.5
+    n0 = interp_linear(ior, pos)
+    dirs = directions * n0[..., None]
+    pos = pos - 0.5
+
+    if sigma is None:
+        res = march_ops.march_float(
+            packed,
+            None,
+            pos,
+            dirs,
+            budget,
+            bend_scale=bend_scale,
+            step_scale=step_scale,
+            chunk_steps=chunk_steps,
+            differentiable=differentiable,
+            opaque_when_positive=True,
+        )
+        trans = None
+    else:
+        res, trans = _march_with_transmittance(
+            packed, sigma, pos, dirs, budget, bend_scale, step_scale, chunk_steps
+        )
+    return {
+        "end_position": res.end_position + 1.0,
+        "end_direction": res.end_direction,
+        "end_iteration": res.end_iteration,
+        "transmittance": trans,
+    }
+
+
+def _march_with_transmittance(packed, sigma, pos, dirs, budget, bend_scale, step_scale, chunk_steps):
+    """March with a float optical-depth accumulator in the carry."""
+    import functools
+
+    n = pos.shape[0]
+    state = march_ops.MarchState(
+        pos=pos.astype(jnp.float32),
+        direction=dirs.astype(jnp.float32),
+        remaining=jnp.full((n,), budget - 1, jnp.uint32),
+        brightness=jnp.full((n,), 0xFFFFFFFF, jnp.uint32),
+        alive=jnp.ones((n,), bool),
+    )
+    step_fn = functools.partial(
+        march_ops._float_step,
+        packed=packed,
+        translucency=None,
+        bounds=np.asarray(packed.shape[:-1], np.int64),
+        bend_scale=bend_scale,
+        step_scale=step_scale,
+        minimum_brightness=jnp.uint32(0),
+        opaque_when_positive=True,
+        nearest=False,
+    )
+    chunk = max(1, min(chunk_steps, budget))
+    num_chunks = -(-budget // chunk)
+
+    def one(carry, _):
+        state, tau = carry
+        prev_pos = state.pos
+        prev_alive = state.alive
+        state = step_fn(state)
+        # optical depth of the segment just marched (only for stepping rays)
+        ds = jnp.linalg.norm(state.pos - prev_pos, axis=-1)
+        mid = 0.5 * (state.pos + prev_pos)
+        s = interp_linear(sigma, mid)
+        tau = tau + jnp.where(state.alive | prev_alive, s * ds, 0.0)
+        return (state, tau), None
+
+    @jax.checkpoint
+    def chunk_fn(carry, _):
+        return jax.lax.scan(one, carry, None, length=chunk)
+
+    (state, tau), _ = jax.lax.scan(
+        chunk_fn, (state, jnp.zeros((n,), jnp.float32)), None, length=num_chunks
+    )
+    res = march_ops._finish(state, budget, 1.0, None)
+    return res, jnp.exp(-tau)

@@ -1,0 +1,268 @@
+"""RaytraceScene — build-once / trace-many scene API.
+
+TPU-native equivalent of ``RaytraceScene<Ior, IorLog, Diff>``
+(/root/reference/src/image_util.h:132-195, image_util.cpp:430-772) and of the
+binding entry points (python_binding.cpp:10-52, java_binding.cpp:84-169):
+the scene preprocessing (log-index → smoothed gradients → opacity packing)
+runs once at construction and is jit-cached; ``trace_rays`` dispatches the
+batched march.
+
+Two tracing modes:
+  * ``mode="fixed"``  — uint32 16.16 positions, bit-faithful reference
+    semantics (the parity/regression path; ≙ TraceRaysCu<float> with pos_t);
+  * ``mode="float"``  — float32 voxel positions, same physics constants,
+    differentiable (the training path; also what the Pallas kernel runs).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import march as march_ops
+from ..ops.fields import build_packed_field, cropped_translucency
+from ..ops.interp import interp_fixed, interp_linear
+from ..types import (
+    DIR_PRESCALE_FLOAT,
+    FIX_HALF,
+    FIX_ONE,
+    STEP_CONST,
+    Options,
+    RayInstance,
+    RaySceneInstance,
+    TraceResult,
+)
+
+
+class RaytraceScene:
+    """Preprocessed optical scene over a refractive-index voxel grid."""
+
+    def __init__(
+        self,
+        ior: Union[np.ndarray, jax.Array],
+        translucency: Optional[Union[np.ndarray, jax.Array]] = None,
+        options: Optional[Options] = None,
+    ):
+        ior = jnp.asarray(ior, jnp.float32)
+        if ior.ndim not in (2, 3):
+            raise ValueError(f"dimension must be 2 or 3, got {ior.ndim}")
+        if translucency is not None:
+            translucency = jnp.asarray(translucency)
+            if translucency.shape != ior.shape:
+                # ≙ "imagesizes doesn't match" (image_util.cpp:513-516)
+                raise ValueError(
+                    f"imagesizes doesn't match: ior {ior.shape} vs "
+                    f"translucency {translucency.shape}"
+                )
+        if not bool(jnp.all(ior > 0)):
+            # ≙ "refraction-index underflow" (image_util.cpp:607-610)
+            raise ValueError("refraction-index underflow: ior must be > 0")
+        self.options = options or Options()
+        self.bounds = tuple(int(s) for s in ior.shape)
+        self.dim = ior.ndim
+        self.ior = ior
+        # packed diff field on the cropped grid (bounds - 2 per axis)
+        self.packed = build_packed_field(ior, translucency)
+        self.translucency_cropped = (
+            cropped_translucency(translucency) if translucency is not None else None
+        )
+        self.diff_bounds = tuple(int(s) for s in self.packed.shape[:-1])
+
+    @classmethod
+    def from_instance(cls, inst: RaySceneInstance, options: Optional[Options] = None):
+        """≙ RaytraceScene(RayTraceSceneInstanceRef) (image_util.cpp:493-496)."""
+        ior = np.asarray(inst.ior, np.float32).reshape(inst.bounds)
+        tr = np.asarray(inst.translucency, np.uint32).reshape(inst.bounds)
+        return cls(ior, tr, options)
+
+    # -- ray pre/post processing ------------------------------------------
+
+    def _validate_fixed(self, start_position: np.ndarray) -> None:
+        """Bounds-validate 16.16 start positions (image_util.cpp:686-691):
+        every coordinate must lie in [1, bound) voxels."""
+        pos = np.asarray(start_position, np.uint64)
+        bounds = np.asarray(self.bounds, np.uint64)
+        bad = (pos < FIX_ONE) | (pos + 1 >= bounds * FIX_ONE)
+        if bad.any():
+            i = int(np.argwhere(bad.any(axis=-1))[0, 0])
+            raise ValueError(
+                f"ray {i}: {start_position[i] / FIX_ONE} is not in 0 to {self.bounds}"
+            )
+
+    def trace_rays(
+        self,
+        start_position,
+        start_direction,
+        *,
+        invscale=None,
+        iterations: int = 1_000_000,
+        minimum_brightness: int = 0,
+        trace_path: bool = False,
+        normalize_length: bool = True,
+        mode: str = "fixed",
+        differentiable: bool = False,
+        chunk_steps: Optional[int] = None,
+        kernel: str = "auto",
+    ) -> TraceResult:
+        """Trace a batch of rays (≙ RaytraceScene::trace_rays,
+        image_util.cpp:645-772).
+
+        start_position: (N, dim) — uint32 16.16 (mode="fixed") or float32
+          voxel units (mode="float"), in the *uncropped* grid frame.
+        start_direction: (N, dim) float; reference float-direction convention
+          (speed s ⇒ |Δpos| ≈ s · invscale² · 0x42000000/0x100000000 voxels
+          per step at n = 1).
+        invscale: per-axis float scale (≙ RayTraceRayInstance::_invscale).
+        """
+        if invscale is None:
+            invscale = np.ones(self.dim, np.float32)
+        invscale = np.broadcast_to(np.asarray(invscale, np.float32), (self.dim,))
+        chunk_steps = chunk_steps or self.options.chunk_steps
+
+        if mode == "fixed":
+            start_position = np.asarray(start_position, np.uint32).reshape(-1, self.dim)
+            self._validate_fixed(start_position)
+            return self._trace_fixed(
+                jnp.asarray(start_position),
+                jnp.asarray(np.asarray(start_direction, np.float32)).reshape(-1, self.dim),
+                tuple(invscale.tolist()),
+                iterations,
+                minimum_brightness,
+                trace_path,
+                normalize_length,
+                chunk_steps,
+            )
+        elif mode == "float":
+            pos = jnp.asarray(start_position, jnp.float32).reshape(-1, self.dim)
+            dirs = jnp.asarray(start_direction, jnp.float32).reshape(-1, self.dim)
+            return self._trace_float(
+                pos,
+                dirs,
+                tuple(invscale.tolist()),
+                iterations,
+                minimum_brightness,
+                trace_path,
+                normalize_length,
+                chunk_steps,
+                differentiable,
+            )
+        raise ValueError(f"unknown mode {mode!r}")
+
+    # cache jitted closures per (static-args) signature
+    @functools.lru_cache(maxsize=None)
+    def _fixed_fn(self, invscale, iterations, minimum_brightness, trace_path, normalize_length, chunk_steps):
+        dim = self.dim
+
+        def fn(packed, translucency, ior, start_position, start_direction):
+            # preprocessing (image_util.cpp:692-710): shift −0x8000, sample
+            # IOR there, scale direction by it (|v| = n init), shift −0x8000
+            # again — net −1 voxel into the cropped diff frame.
+            if normalize_length:
+                pos = start_position - jnp.uint32(FIX_HALF)
+                ior_here = interp_fixed(ior[..., None], pos)[..., 0]
+                dirs = start_direction * ior_here[..., None]
+                pos = pos - jnp.uint32(FIX_HALF)
+            else:
+                pos = start_position - jnp.uint32(FIX_ONE)
+                dirs = start_direction
+            res = march_ops.march_fixed(
+                packed,
+                translucency,
+                pos,
+                dirs,
+                iterations,
+                invscale=jnp.asarray(invscale, jnp.float32),
+                minimum_brightness=minimum_brightness,
+                chunk_steps=chunk_steps,
+                record_path=trace_path,
+            )
+            # postprocessing: shift back +0x10000 (image_util.cpp:770-771)
+            return TraceResult(
+                end_position=res.end_position + jnp.uint32(FIX_ONE),
+                end_direction=res.end_direction,
+                end_iteration=res.end_iteration,
+                remaining_light=res.remaining_light,
+                path=None if res.path is None else res.path + jnp.uint32(FIX_ONE),
+            )
+
+        return jax.jit(fn)
+
+    def _trace_fixed(self, pos, dirs, invscale, iterations, minimum_brightness, trace_path, normalize_length, chunk_steps):
+        fn = self._fixed_fn(invscale, iterations, minimum_brightness, trace_path, normalize_length, chunk_steps)
+        return fn(self.packed, self.translucency_cropped, self.ior, pos, dirs)
+
+    @functools.lru_cache(maxsize=None)
+    def _float_fn(self, invscale, iterations, minimum_brightness, trace_path, normalize_length, chunk_steps, differentiable):
+        dim = self.dim
+        inv = np.asarray(invscale, np.float32)
+        # float-path constants (see ops/march.py): working dir = raw float
+        # direction (dir_prescale 1), so
+        #   bend_scale = invscale / 0x10000
+        #   step_scale = invscale * 0x42000000 / 0x10000²   (voxels)
+        bend_scale = inv / float(FIX_ONE)
+        step_scale = inv * (STEP_CONST / float(FIX_ONE) / float(FIX_ONE))
+
+        def fn(packed, translucency, ior, start_position, start_direction):
+            if normalize_length:
+                pos = start_position - 0.5
+                ior_here = interp_linear(ior, pos)
+                dirs = start_direction * ior_here[..., None]
+                pos = pos - 0.5
+            else:
+                pos = start_position - 1.0
+                dirs = start_direction
+            res = march_ops.march_float(
+                packed,
+                translucency,
+                pos,
+                dirs,
+                iterations,
+                bend_scale=bend_scale,
+                step_scale=step_scale,
+                minimum_brightness=minimum_brightness,
+                chunk_steps=chunk_steps,
+                record_path=trace_path,
+                differentiable=differentiable,
+                opaque_when_positive=True,
+            )
+            return TraceResult(
+                end_position=res.end_position + 1.0,
+                end_direction=res.end_direction,
+                end_iteration=res.end_iteration,
+                remaining_light=res.remaining_light,
+                path=None if res.path is None else res.path + 1.0,
+            )
+
+        return jax.jit(fn)
+
+    def _trace_float(self, pos, dirs, invscale, iterations, minimum_brightness, trace_path, normalize_length, chunk_steps, differentiable):
+        fn = self._float_fn(invscale, iterations, minimum_brightness, trace_path, normalize_length, chunk_steps, differentiable)
+        return fn(self.packed, self.translucency_cropped, self.ior, pos, dirs)
+
+    # -- probes ------------------------------------------------------------
+
+    def get_ior(self, position) -> jax.Array:
+        """Interpolated IOR at float voxel positions (≙ OpticalVolume.get_ior,
+        volume_raytracer.py:259-270, but multilinear)."""
+        pos = jnp.asarray(position, jnp.float32).reshape(-1, self.dim)
+        return interp_linear(self.ior, pos)
+
+
+def trace_rays_instance(scene_inst: RaySceneInstance, ray_inst: RayInstance, options: Optional[Options] = None, mode: str = "fixed") -> TraceResult:
+    """Free-function replay entry (≙ trace_rays<...>(RaytraceInstanceRef),
+    image_util.cpp:780-813,864-891; used by the CLI, ≙ raytrace_test.cpp)."""
+    scene = RaytraceScene.from_instance(scene_inst, options)
+    return scene.trace_rays(
+        ray_inst.start_position,
+        ray_inst.start_direction,
+        invscale=ray_inst.invscale,
+        iterations=ray_inst.iterations,
+        minimum_brightness=ray_inst.minimum_brightness,
+        trace_path=ray_inst.trace_path,
+        normalize_length=ray_inst.normalize_length,
+        mode=mode,
+    )
