@@ -1,0 +1,110 @@
+"""Benchmark: forward+backward GRIN ray march at 256³, one JSON line.
+
+Protocol (mirrors the reference's perf harness shape — fixed ray population
+traced to budget exhaustion, rays/time, /root/reference/src/performance_test.h:
+59-76 — extended to the BASELINE north-star metric: Mrays/s/chip
+forward+backward at a 256³ voxel grid).
+
+Roofline model for ``vs_baseline`` (the reference publishes no numbers;
+BASELINE.json's target is ≥0.9× roofline):
+  per ray-step, forward: 8-corner gather of a 4-channel f32 field = 128 B
+  from HBM (the field cannot fit in VMEM at 256³);
+  backward (remat + scatter-add of field grads): ≈ 128 B re-gather
+  + 256 B gradient read-modify-write = 384 B.
+  → bytes/step ≈ 512 B; v5e HBM ≈ 819 GB/s ⇒ roofline ≈ 1.6 G steps/s.
+``vs_baseline`` = measured steps/s ÷ (0.9 × roofline steps/s).
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+GRID = 256
+N_RAYS = 32768
+BUDGET = 512
+CHUNK = 128
+
+HBM_BYTES_PER_S = 819e9  # v5e
+BYTES_PER_STEP_FWD_BWD = 512.0
+ROOFLINE_STEPS_PER_S = HBM_BYTES_PER_S / BYTES_PER_STEP_FWD_BWD
+
+
+def build_field(n=GRID):
+    """Smooth analytic GRIN field (lens bump) — config-3 style."""
+    ax = np.linspace(-1.0, 1.0, n, dtype=np.float32)
+    x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+    r2 = x * x + y * y + z * z
+    return jnp.asarray(1.0 + 0.5 * np.exp(-4.0 * r2, dtype=np.float32))
+
+
+def build_rays(n_rays=N_RAYS, grid=GRID, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = np.stack(
+        [
+            np.full(n_rays, 2.0, np.float32),
+            rng.uniform(8.0, grid - 8.0, n_rays).astype(np.float32),
+            rng.uniform(8.0, grid - 8.0, n_rays).astype(np.float32),
+        ],
+        axis=-1,
+    )
+    dirs = np.tile(np.array([[16.0, 0.0, 0.0]], np.float32), (n_rays, 1))
+    return jnp.asarray(pos), jnp.asarray(dirs)
+
+
+def main():
+    from volumeraytracer_tpu.parallel.shard import endpoint_render
+
+    ior = build_field()
+    pos, dirs = build_rays()
+
+    def loss_fn(f, p, d):
+        end_pos, _ = endpoint_render(f, p, d, BUDGET, 2.0, CHUNK)
+        return jnp.sum(end_pos[:, 1])
+
+    fwd_bwd = jax.jit(jax.value_and_grad(loss_fn))
+
+    def sync(out):
+        # force completion with a host transfer: on the axon relay platform
+        # block_until_ready can return before execution finishes
+        return float(out[0])
+
+    # warmup/compile
+    out = fwd_bwd(ior, pos, dirs)
+    sync(out)
+
+    reps = 2
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fwd_bwd(ior, pos, dirs)
+        sync(out)
+    dt = (time.perf_counter() - t0) / reps
+
+    steps = N_RAYS * BUDGET  # fixed budget: every ray marches to exhaustion
+    steps_per_s = steps / dt
+    mrays_per_s = N_RAYS / dt / 1e6
+    vs = steps_per_s / (0.9 * ROOFLINE_STEPS_PER_S)
+    print(
+        json.dumps(
+            {
+                "metric": f"Mrays/s/chip fwd+bwd, {GRID}^3 grid, {BUDGET}-step budget",
+                "value": round(mrays_per_s, 4),
+                "unit": "Mrays/s",
+                "vs_baseline": round(vs, 4),
+                "detail": {
+                    "steps_per_s": round(steps_per_s, 1),
+                    "n_rays": N_RAYS,
+                    "budget": BUDGET,
+                    "seconds_per_iter": round(dt, 4),
+                    "roofline_steps_per_s": ROOFLINE_STEPS_PER_S,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

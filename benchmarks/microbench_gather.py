@@ -21,14 +21,20 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(out):
+    """Force completion with a host transfer: on the axon relay platform
+    block_until_ready returns before the computation actually finishes."""
+    np.asarray(jax.tree.leaves(out)[0])
+
+
 def timeit(fn, *args, iters=20, warmup=3):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -49,7 +55,7 @@ def bench_gathers(grid=128, n_rays=65536, steps=64):
         return base, frac, flat
 
     @jax.jit
-    def march_a(pos):
+    def march_a(pos, f4):
         def body(i, pos):
             base, frac, flat = step_common(pos)
             offs = jnp.asarray(
@@ -66,7 +72,7 @@ def bench_gathers(grid=128, n_rays=65536, steps=64):
         return jax.lax.fori_loop(0, steps, body, pos)
 
     @jax.jit
-    def march_b(pos):
+    def march_b(pos, f32c):
         def body(i, pos):
             base, frac, flat = step_common(pos)
             row = jnp.take(f32c, flat, axis=0)  # (N,32)
@@ -81,7 +87,7 @@ def bench_gathers(grid=128, n_rays=65536, steps=64):
         return jax.lax.fori_loop(0, steps, body, pos)
 
     @jax.jit
-    def march_c(pos):
+    def march_c(pos, f8):
         def body(i, pos):
             base, frac, flat = step_common(pos)
             offs = jnp.asarray([0, 1, grid, grid + 1], jnp.int32) * 1
@@ -98,8 +104,8 @@ def bench_gathers(grid=128, n_rays=65536, steps=64):
         return jax.lax.fori_loop(0, steps, body, pos)
 
     results = {}
-    for name, fn in [("A_8x4", march_a), ("B_1x32", march_b), ("C_4x8", march_c)]:
-        dt = timeit(fn, pos0, iters=10)
+    for name, fn, tbl in [("A_8x4", march_a, f4), ("B_1x32", march_b, f32c), ("C_4x8", march_c, f8)]:
+        dt = timeit(fn, pos0, tbl, iters=10)
         rs = n_rays * steps / dt
         results[name] = rs
         print(f"{name}: {dt*1e3:8.2f} ms  {rs/1e6:8.1f} Mray-steps/s")

@@ -270,13 +270,16 @@ def march_fixed(
     invscale = jnp.broadcast_to(jnp.asarray(invscale, jnp.float32), (dim,))
     minb = jnp.uint32(minimum_brightness)
 
+    # state vectors are derived from the positions (zeros_like) so they carry
+    # the same sharding/varying-axis types under shard_map
+    lane = jnp.zeros_like(start_position[..., 0], dtype=jnp.uint32)
     state = MarchState(
         pos=start_position.astype(jnp.uint32),
         direction=start_direction.astype(jnp.float32) * jnp.float32(dir_prescale),
         # path[--iterations] consumes one budget slot before the loop (.cu:333)
-        remaining=jnp.full((n,), budget - 1, jnp.uint32),
-        brightness=jnp.full((n,), BRIGHTNESS_MAX, jnp.uint32),
-        alive=jnp.ones((n,), bool),
+        remaining=lane + jnp.uint32(budget - 1),
+        brightness=lane + jnp.uint32(BRIGHTNESS_MAX),
+        alive=lane == 0,
     )
     step_fn = functools.partial(
         _fixed_step,
@@ -322,15 +325,16 @@ def march_float(
     """
     bounds = np.asarray(packed.shape[:-1], np.int64)
     n, dim = start_position.shape
+    lane = jnp.zeros_like(start_position[..., 0], dtype=jnp.uint32)
     state = MarchState(
         pos=start_position.astype(jnp.float32),
         direction=start_direction.astype(jnp.float32) * jnp.float32(dir_prescale),
         # reference-C++ semantics (opaque_when_positive) consume one budget
         # slot for the start-position path entry (.cu:333); the CuPy kernel
         # does not (volume_raytracer.py:163 uses the full budget).
-        remaining=jnp.full((n,), budget - 1 if opaque_when_positive else budget, jnp.uint32),
-        brightness=jnp.full((n,), BRIGHTNESS_MAX, jnp.uint32),
-        alive=jnp.ones((n,), bool),
+        remaining=lane + jnp.uint32(budget - 1 if opaque_when_positive else budget),
+        brightness=lane + jnp.uint32(BRIGHTNESS_MAX),
+        alive=lane == 0,
     )
     step_fn = functools.partial(
         _float_step,
