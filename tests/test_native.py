@@ -1,0 +1,60 @@
+"""Native C++ oracle vs the JAX paths — the cross-implementation parity
+check the reference gets from its dual CUDA/-DNCUDA builds (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from volumeraytracer_tpu import native
+from volumeraytracer_tpu.models.harmonic import solve_harmonic as solve_jax
+from volumeraytracer_tpu.ops import march as march_ops
+from volumeraytracer_tpu.ops.fields import build_packed_field
+from volumeraytracer_tpu.types import FIX_ONE, STEP_CONST
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built (no g++?)"
+)
+
+
+def test_native_march_matches_jnp():
+    n = 32
+    ax = np.linspace(-1, 1, n, dtype=np.float32)
+    x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+    ior = (1.0 + 0.3 * np.exp(-3.0 * (x * x + y * y + z * z))).astype(np.float32)
+    packed = np.asarray(build_packed_field(jnp.asarray(ior)))
+
+    rng = np.random.default_rng(0)
+    m = 64
+    pos = np.stack(
+        [np.full(m, 1.5), rng.uniform(3, 26, m), rng.uniform(3, 26, m)], axis=-1
+    ).astype(np.float32)
+    dirs = np.stack(
+        [np.full(m, 16.0), rng.uniform(-2, 2, m), rng.uniform(-2, 2, m)], axis=-1
+    ).astype(np.float32)
+
+    inv = 2.0
+    bend = inv / float(FIX_ONE)
+    step = inv * (STEP_CONST / float(FIX_ONE) / float(FIX_ONE))
+    budget = 256
+
+    ref = march_ops.march_float(
+        jnp.asarray(packed), None, jnp.asarray(pos), jnp.asarray(dirs), budget,
+        bend_scale=bend, step_scale=step, chunk_steps=64,
+    )
+    epos, edir, eiter = native.march_float(packed, pos, dirs, budget, bend, step)
+
+    np.testing.assert_array_equal(eiter, np.asarray(ref.end_iteration))
+    np.testing.assert_allclose(epos, np.asarray(ref.end_position), atol=2e-4)
+    np.testing.assert_allclose(edir, np.asarray(ref.end_direction), rtol=1e-5, atol=1e-5)
+
+
+def test_native_harmonic_matches_jax():
+    vals = np.ones((12, 12), np.float64)
+    fixed = np.zeros_like(vals, bool)
+    vals[0], fixed[0] = 1.0, True
+    vals[-1], fixed[-1] = 3.0, True
+    ref = np.asarray(solve_jax(vals, is_fixed=fixed, max_iterations=5000, max_error=1e-14))
+    out, it = native.solve_harmonic(vals, is_fixed=fixed, max_iterations=5000, max_error=1e-14)
+    assert it > 10
+    np.testing.assert_allclose(out, ref, atol=1e-4)

@@ -90,7 +90,8 @@ def _march_kernel(
     # outputs
     opx_ref, opy_ref, opz_ref, odx_ref, ody_ref, odz_ref, orem_ref, oalive_ref,
     # scratch
-    brick_ref,  # (BX, BY, BZ, 32) f32
+    brick_ref,  # (BX, BY, BZ//4, 128) f32
+    cache_ref,  # (32, RS, RL) f32 — per-ray corner cache, one slot per chan
     dma_sem,
     *,
     max_windows: int,
@@ -189,15 +190,12 @@ def _march_kernel(
                 )
         # acc row ordering: rows [s*RL + l] hold ray (sublane s, lane l)
         # of the (8,128) tiles.  Back to channel-tile layout via per-group
-        # transposes + sublane concats (again avoiding shape casts).
-        groups = [
-            acc[s * RL : (s + 1) * RL, :].T  # (32, RL)
-            for s in range(RS)
-        ]
-        cache = [
-            jnp.concatenate([groups[s][oc : oc + 1, :] for s in range(RS)], axis=0)
-            for oc in range(32)
-        ]  # 32 × (RS, RL) channel tiles
+        # transposes, materialised into VMEM scratch so the inner step loop
+        # reads clean (RS, RL) tiles instead of re-laying out concat chains
+        # every step.
+        for s in range(RS):
+            cache_ref[:, s, :] = acc[s * RL : (s + 1) * RL, :].T  # (32, RL)
+        cache = [cache_ref[oc] for oc in range(32)]  # 32 × (RS, RL) tiles
 
         # cell anchor for this refresh window
         basex = jnp.floor(px)
@@ -316,6 +314,7 @@ def _march_call(
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((BX, BY, BZ // 4, RL), jnp.float32),
+            pltpu.VMEM((32, RS, RL), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

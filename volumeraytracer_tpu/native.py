@@ -1,0 +1,133 @@
+"""ctypes loader for the native host library (native/libvrt_native.so).
+
+The native layer is the TPU framework's analogue of the reference's host
+build of the kernel (-DNCUDA, /root/reference/Makefile:57-58): an
+independent scalar C++ implementation of the same march semantics used as
+a cross-implementation oracle, plus OpenMP harmonic sweeps and AoS/SoA ray
+marshalling.  Built on demand with ``make -C native`` (g++ is assumed; no
+pip deps).  All entry points degrade gracefully when the library is
+unavailable — callers check ``available()``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_SO = _NATIVE_DIR / "libvrt_native.so"
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return _SO.exists()
+    except Exception:
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _SO.exists() and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError:
+        return None
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.vrt_march_float.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        f32p, f32p, u32p, ctypes.c_int,
+        ctypes.c_uint32, f32p, f32p, ctypes.c_int,
+    ]
+    lib.vrt_march_float.restype = None
+    lib.vrt_solve_harmonic.argtypes = [
+        f64p, f64p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_double, ctypes.c_int,
+    ]
+    lib.vrt_solve_harmonic.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def _f32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def march_float(
+    packed: np.ndarray,
+    start_position: np.ndarray,
+    start_direction: np.ndarray,
+    budget: int,
+    bend_scale,
+    step_scale,
+    nthreads: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Scalar C++ oracle march (3D only).  Returns (end_pos, end_dir,
+    end_iteration); same semantics as ops.march.march_float."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable (g++/make failed?)")
+    packed = np.ascontiguousarray(packed, np.float32)
+    X, Y, Z, C = packed.shape
+    assert C == 4
+    pos = np.ascontiguousarray(start_position, np.float32).copy()
+    dirs = np.ascontiguousarray(start_direction, np.float32).copy()
+    n = pos.shape[0]
+    iters = np.zeros(n, np.uint32)
+    bend = np.ascontiguousarray(np.broadcast_to(np.asarray(bend_scale, np.float32), (3,)))
+    step = np.ascontiguousarray(np.broadcast_to(np.asarray(step_scale, np.float32), (3,)))
+    lib.vrt_march_float(
+        _f32p(packed), X, Y, Z,
+        _f32p(pos), _f32p(dirs),
+        iters.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n,
+        np.uint32(budget), _f32p(bend), _f32p(step), nthreads,
+    )
+    return pos, dirs, iters
+
+
+def solve_harmonic(
+    values: np.ndarray,
+    derivative_divisor: Optional[np.ndarray] = None,
+    is_fixed: Optional[np.ndarray] = None,
+    max_iterations: int = 1000,
+    max_error: float = 1e-8,
+    nthreads: int = 0,
+) -> Tuple[np.ndarray, int]:
+    """Native damped-Jacobi harmonic solve; returns (field, iterations)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    v = np.ascontiguousarray(values, np.float64).copy()
+    d = (np.zeros_like(v) if derivative_divisor is None
+         else np.ascontiguousarray(derivative_divisor, np.float64))
+    f = (np.zeros(v.shape, np.uint8) if is_fixed is None
+         else np.ascontiguousarray(is_fixed, np.uint8))
+    dims = np.asarray(v.shape, np.int64)
+    it = lib.vrt_solve_harmonic(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        v.ndim, v.size, max_iterations, max_error, nthreads,
+    )
+    return v, it
