@@ -98,3 +98,45 @@ def test_pallas_march_matches_jnp(budget):
     # at ~0.032 voxels/step): mid-flight termination parity is exercised
     if budget >= 300:
         assert (np.asarray(res.end_iteration) < budget).any()
+
+
+def test_scene_api_pallas_kernel_matches_xla():
+    """kernel='pallas' through the public RaytraceScene API (interpret mode
+    on CPU) must agree with kernel='xla' float tracing."""
+    import numpy as np
+    import jax.numpy as jnp
+    from volumeraytracer_tpu import RaytraceScene
+
+    n = 24
+    ior = np.ones((n, 10, 10), np.float32)
+    for i in range(n):
+        ior[i] = 1.0 + i / (n - 1)
+    sc = RaytraceScene(ior)
+    pos = np.array([[1.5, 4.0, 4.0], [1.5, 6.5, 3.5]], np.float32)
+    dirs = np.tile(np.array([[16.0, 0.0, 0.0]], np.float32), (2, 1))
+
+    a = sc.trace_rays(pos, dirs, invscale=[2.0] * 3, iterations=400, mode="float")
+    b = sc.trace_rays(pos, dirs, invscale=[2.0] * 3, iterations=400,
+                      mode="float", kernel="pallas")
+    np.testing.assert_allclose(
+        np.asarray(b.end_position), np.asarray(a.end_position), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.end_direction), np.asarray(a.end_direction), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(b.end_iteration), np.asarray(a.end_iteration)
+    )
+
+
+def test_scene_api_pallas_rejects_unsupported():
+    import numpy as np
+    import pytest
+    from volumeraytracer_tpu import RaytraceScene
+
+    sc2 = RaytraceScene(np.ones((8, 8), np.float32))
+    with pytest.raises(ValueError, match="2D"):
+        sc2.trace_rays(
+            np.full((1, 2), 2.0, np.float32), np.ones((1, 2), np.float32),
+            mode="float", kernel="pallas", iterations=8,
+        )

@@ -19,17 +19,45 @@ from .types import (
 )
 from .models.scene import RaytraceScene, trace_rays_instance
 from .models.optical_volume import OpticalVolume
+from .models.harmonic import solve_harmonic, solveHarmonic
+from .models.camera import PinholeCamera, render_transmittance
+from .models.optimize import fit_field, save_ray_state, load_ray_state
+from .utils.serialization import (
+    save_instance,
+    load_instance,
+    save_instance_binary,
+    load_instance_binary,
+    save_scene_instance,
+    load_scene_instance,
+    save_ray_instance,
+    load_ray_instance,
+)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Options",
     "OpticalVolume",
+    "PinholeCamera",
     "RayInstance",
     "RaySceneInstance",
     "RaytraceInstance",
     "RaytraceScene",
     "TraceResult",
+    "fit_field",
+    "load_instance",
+    "load_instance_binary",
+    "load_ray_instance",
+    "load_ray_state",
+    "load_scene_instance",
+    "render_transmittance",
+    "save_instance",
+    "save_instance_binary",
+    "save_ray_instance",
+    "save_ray_state",
+    "save_scene_instance",
+    "solveHarmonic",
+    "solve_harmonic",
     "trace_rays_instance",
     "__version__",
 ]

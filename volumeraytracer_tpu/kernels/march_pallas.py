@@ -307,7 +307,7 @@ def _march_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # corner table stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # corner table stays in HBM
             *[state_spec] * 8,
         ],
         out_specs=[state_spec] * 8,

@@ -1,0 +1,234 @@
+"""Field optimisation: optax training loops with orbax checkpoint/resume.
+
+The reference has **no backward pass and no optimiser** (SURVEY.md §0) — this
+module is the BASELINE north-star capability built on the differentiable
+march: fit a refractive-index field so traced rays hit per-ray target
+endpoints (or match target images), with
+
+  * any optax optimiser (adam by default),
+  * single-device or mesh-sharded gradients (rays data-parallel, field
+    replicated with psum'd voxel gradients — parallel/shard.py, config 4),
+  * **orbax** checkpointing of (params, opt_state, step) so long fits
+    survive preemption — the optimiser-loop analogue of the reference's
+    "ray state is a checkpoint" property (SURVEY.md §5), which is itself
+    exposed here as ray-state snapshot/restore helpers.
+
+Reference parity note: the closest reference workflow is serializing a full
+instance and replaying it (serialize.h, raytrace_test.cpp) — checkpointing
+*inputs*.  We checkpoint *training state*, which has no reference equivalent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from pathlib import Path
+from typing import Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # optax/orbax are baked into the environment; degrade gracefully anyway
+    import optax
+except ImportError:  # pragma: no cover
+    optax = None
+
+try:
+    import orbax.checkpoint as ocp
+except ImportError:  # pragma: no cover
+    ocp = None
+
+from ..ops import march as march_ops
+from ..parallel.shard import endpoint_render
+from ..types import TraceResult
+
+
+# ---------------------------------------------------------------------------
+# parameterisations: keep ior physical (> 1) under unconstrained optimisation
+# ---------------------------------------------------------------------------
+
+
+def softplus_ior(theta: jax.Array, floor: float = 1.0) -> jax.Array:
+    """Map unconstrained parameters to a physical index field ior > floor."""
+    return floor + jax.nn.softplus(theta)
+
+
+def softplus_ior_inverse(ior: jax.Array, floor: float = 1.0) -> jax.Array:
+    x = jnp.maximum(jnp.asarray(ior, jnp.float32) - floor, 1e-6)
+    # softplus⁻¹(x) = log(expm1(x)); stable form for large x
+    return jnp.where(x > 20.0, x, jnp.log(jnp.expm1(x)))
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+
+def endpoint_loss(
+    ior: jax.Array,
+    positions: jax.Array,
+    directions: jax.Array,
+    targets: jax.Array,
+    *,
+    budget: int,
+    invscale: float = 2.0,
+    chunk_steps: int = 64,
+) -> jax.Array:
+    """Mean squared endpoint error through the differentiable march."""
+    end_pos, _ = endpoint_render(ior, positions, directions, budget, invscale, chunk_steps)
+    return jnp.mean(jnp.sum((end_pos - targets) ** 2, axis=-1))
+
+
+def smoothness_penalty(ior: jax.Array) -> jax.Array:
+    """Total-variation-style regulariser (mean squared forward difference),
+    the practical prior for GRIN fields (the reference builds smooth fields
+    with its harmonic solver instead — solve_harmonic.cpp)."""
+    total = jnp.float32(0.0)
+    for axis in range(ior.ndim):
+        d = jnp.diff(ior, axis=axis)
+        total = total + jnp.mean(d * d)
+    return total
+
+
+# ---------------------------------------------------------------------------
+# the training loop
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class FitResult:
+    ior: np.ndarray
+    losses: np.ndarray
+    step: int
+
+
+def fit_field(
+    init_ior: Union[np.ndarray, jax.Array],
+    positions,
+    directions,
+    targets,
+    *,
+    budget: int = 256,
+    invscale: float = 2.0,
+    chunk_steps: int = 64,
+    steps: int = 100,
+    optimizer=None,
+    learning_rate: float = 1e-3,
+    smoothness: float = 0.0,
+    checkpoint_dir: Optional[Union[str, Path]] = None,
+    checkpoint_every: int = 50,
+    log_every: int = 0,
+    logger=None,
+) -> FitResult:
+    """Fit an index field so rays land on ``targets`` (per-ray endpoints).
+
+    Parameters are unconstrained (softplus-reparametrised so ior stays > 1).
+    If ``checkpoint_dir`` is given, training state is checkpointed with orbax
+    every ``checkpoint_every`` steps and **resumed automatically** when the
+    directory already holds a newer state.
+    """
+    if optax is None:  # pragma: no cover
+        raise RuntimeError("optax is required for fit_field")
+    opt = optimizer or optax.adam(learning_rate)
+
+    positions = jnp.asarray(positions, jnp.float32)
+    directions = jnp.asarray(directions, jnp.float32)
+    targets = jnp.asarray(targets, jnp.float32)
+
+    theta = softplus_ior_inverse(jnp.asarray(init_ior, jnp.float32))
+    opt_state = opt.init(theta)
+    start_step = 0
+
+    mngr = None
+    if checkpoint_dir is not None:
+        if ocp is None:  # pragma: no cover
+            raise RuntimeError("orbax-checkpoint is required for checkpoint_dir")
+        mngr = ocp.CheckpointManager(
+            Path(checkpoint_dir).absolute(),
+            options=ocp.CheckpointManagerOptions(max_to_keep=2, create=True),
+        )
+        latest = mngr.latest_step()
+        if latest is not None:
+            restored = mngr.restore(
+                latest,
+                args=ocp.args.StandardRestore(
+                    {"theta": theta, "opt_state": opt_state}
+                ),
+            )
+            theta = restored["theta"]
+            opt_state = restored["opt_state"]
+            start_step = latest + 1
+
+    def loss_fn(th):
+        ior = softplus_ior(th)
+        loss = endpoint_loss(
+            ior, positions, directions, targets,
+            budget=budget, invscale=invscale, chunk_steps=chunk_steps,
+        )
+        if smoothness > 0.0:
+            loss = loss + smoothness * smoothness_penalty(ior)
+        return loss
+
+    @jax.jit
+    def train_step(th, st):
+        loss, g = jax.value_and_grad(loss_fn)(th)
+        updates, st = opt.update(g, st, th)
+        return optax.apply_updates(th, updates), st, loss
+
+    losses = []
+    step = start_step
+    for step in range(start_step, steps):
+        theta, opt_state, loss = train_step(theta, opt_state)
+        losses.append(float(loss))
+        if log_every and logger is not None and step % log_every == 0:
+            logger.info("fit_field step %d loss %.3e", step, float(loss))
+        if mngr is not None and (step % checkpoint_every == 0 or step == steps - 1):
+            mngr.save(
+                step,
+                args=ocp.args.StandardSave(
+                    {"theta": theta, "opt_state": opt_state}
+                ),
+            )
+    if mngr is not None:
+        mngr.wait_until_finished()
+        mngr.close()
+
+    return FitResult(
+        ior=np.asarray(softplus_ior(theta)),
+        losses=np.asarray(losses, np.float64),
+        step=step,
+    )
+
+
+# ---------------------------------------------------------------------------
+# mid-trace ray-state checkpointing ("ray state is a checkpoint", SURVEY §5:
+# outputs are valid restart inputs — the reference CuPy test exploits this by
+# re-invoking with small budgets, test_volume_raytracer.py:29-32)
+# ---------------------------------------------------------------------------
+
+
+def save_ray_state(path: Union[str, Path], result: TraceResult, budget_left) -> None:
+    """Snapshot an in-flight trace: endpoints + directions + remaining budget
+    become the start state of the next leg."""
+    np.savez_compressed(
+        path,
+        kind=np.array("ray_state"),
+        position=np.asarray(result.end_position),
+        direction=np.asarray(result.end_direction),
+        budget_left=np.asarray(budget_left, np.uint32),
+        remaining_light=np.asarray(result.remaining_light, np.uint32),
+    )
+
+
+def load_ray_state(path: Union[str, Path]) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (position, direction, budget_left, remaining_light)."""
+    with np.load(path, allow_pickle=False) as z:
+        if str(z["kind"]) != "ray_state":
+            raise ValueError(f"{path} is not a ray_state snapshot")
+        return (
+            z["position"],
+            z["direction"],
+            z["budget_left"],
+            z["remaining_light"],
+        )

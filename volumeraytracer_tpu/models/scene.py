@@ -139,6 +139,26 @@ class RaytraceScene:
         elif mode == "float":
             pos = jnp.asarray(start_position, jnp.float32).reshape(-1, self.dim)
             dirs = jnp.asarray(start_direction, jnp.float32).reshape(-1, self.dim)
+            if kernel not in ("auto", "xla", "pallas"):
+                raise ValueError(f"unknown kernel {kernel!r}")
+            if kernel == "pallas":
+                unsupported = []
+                if self.dim != 3:
+                    unsupported.append("2D volumes")
+                if trace_path:
+                    unsupported.append("trace_path")
+                if differentiable:
+                    unsupported.append("differentiable")
+                if self.translucency_cropped is not None and minimum_brightness > 0:
+                    unsupported.append("minimum_brightness")
+                if unsupported:
+                    raise ValueError(
+                        "kernel='pallas' does not support: " + ", ".join(unsupported)
+                        + " (use kernel='xla')"
+                    )
+                return self._trace_float_pallas(
+                    pos, dirs, tuple(invscale.tolist()), iterations, normalize_length
+                )
             return self._trace_float(
                 pos,
                 dirs,
@@ -242,6 +262,40 @@ class RaytraceScene:
     def _trace_float(self, pos, dirs, invscale, iterations, minimum_brightness, trace_path, normalize_length, chunk_steps, differentiable):
         fn = self._float_fn(invscale, iterations, minimum_brightness, trace_path, normalize_length, chunk_steps, differentiable)
         return fn(self.packed, self.translucency_cropped, self.ior, pos, dirs)
+
+    def _trace_float_pallas(self, pos, dirs, invscale, iterations, normalize_length):
+        """Float forward via the brick-walking Pallas TPU kernel
+        (kernels/march_pallas.py); interpret mode off-TPU so the same path is
+        testable on CPU (≙ the reference's -DNCUDA build of the kernel)."""
+        from ..kernels.march_pallas import march_pallas
+
+        inv = np.asarray(invscale, np.float32)
+        bend_scale = inv / float(FIX_ONE)
+        step_scale = inv * (STEP_CONST / float(FIX_ONE) / float(FIX_ONE))
+        if normalize_length:
+            p = pos - 0.5
+            ior_here = interp_linear(self.ior, p)
+            dirs = dirs * ior_here[..., None]
+            p = p - 0.5
+        else:
+            p = pos - 1.0
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        res = march_pallas(
+            self.packed,
+            p,
+            dirs,
+            iterations,
+            bend_scale=bend_scale,
+            step_scale=step_scale,
+            interpret=interpret,
+        )
+        return TraceResult(
+            end_position=res.end_position + 1.0,
+            end_direction=res.end_direction,
+            end_iteration=res.end_iteration,
+            remaining_light=res.remaining_light,
+            path=None,
+        )
 
     # -- probes ------------------------------------------------------------
 

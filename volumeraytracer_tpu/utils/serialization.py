@@ -33,6 +33,36 @@ MAGIC = b"VRTPU1\x00\x00"
 # ---------------------------------------------------------------------------
 
 
+class _npz_load:
+    """np.load that fails with a clean ValueError on non-npz/truncated files
+    or a wrong instance kind (≙ the reference's stream-state checks around
+    SERIALIZE::read_value, raytrace_test.cpp:41-53)."""
+
+    def __init__(self, path, kind: str):
+        self._path = path
+        self._kind = kind
+
+    def __enter__(self):
+        try:
+            self._z = np.load(self._path, allow_pickle=False)
+        except (OSError, EOFError, ValueError) as e:
+            raise ValueError(f"{self._path}: not a readable npz instance ({e})") from e
+        z = self._z.__enter__()
+        try:
+            if "kind" not in z or str(z["kind"]) != self._kind:
+                raise ValueError(
+                    f"{self._path}: not a {self._kind} snapshot "
+                    f"(kind={str(z['kind']) if 'kind' in z else 'missing'!r})"
+                )
+        except Exception:
+            self._z.__exit__(None, None, None)
+            raise
+        return z
+
+    def __exit__(self, *exc):
+        return self._z.__exit__(*exc)
+
+
 def save_instance(path: Union[str, Path], inst: RaytraceInstance) -> None:
     np.savez_compressed(
         path,
@@ -51,7 +81,7 @@ def save_instance(path: Union[str, Path], inst: RaytraceInstance) -> None:
 
 
 def load_instance(path: Union[str, Path]) -> RaytraceInstance:
-    with np.load(path, allow_pickle=False) as z:
+    with _npz_load(path, "raytrace_instance") as z:
         scene = RaySceneInstance(
             bounds=tuple(int(b) for b in z["bounds"]),
             ior=z["ior"],
@@ -80,7 +110,7 @@ def save_scene_instance(path, scene: RaySceneInstance) -> None:
 
 
 def load_scene_instance(path) -> RaySceneInstance:
-    with np.load(path, allow_pickle=False) as z:
+    with _npz_load(path, "scene_instance") as z:
         return RaySceneInstance(
             bounds=tuple(int(b) for b in z["bounds"]),
             ior=z["ior"],
@@ -103,7 +133,7 @@ def save_ray_instance(path, rays: RayInstance) -> None:
 
 
 def load_ray_instance(path) -> RayInstance:
-    with np.load(path, allow_pickle=False) as z:
+    with _npz_load(path, "ray_instance") as z:
         return RayInstance(
             start_position=z["start_position"],
             start_direction=z["start_direction"],
@@ -173,6 +203,13 @@ def dumps_binary(inst: RaytraceInstance) -> bytes:
 
 
 def loads_binary(data: bytes) -> RaytraceInstance:
+    try:
+        return _loads_binary_impl(data)
+    except (struct.error, KeyError, IndexError) as e:
+        raise ValueError(f"corrupt .vrt instance ({e})") from e
+
+
+def _loads_binary_impl(data: bytes) -> RaytraceInstance:
     f = io.BytesIO(data)
     if f.read(len(MAGIC)) != MAGIC:
         raise ValueError("bad magic: not a .vrt instance")
