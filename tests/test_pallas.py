@@ -7,7 +7,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from volumeraytracer_tpu.kernels.march_pallas import build_corner_table, march_pallas
+from volumeraytracer_tpu.kernels.march_pallas import (
+    BX, BY, BZ, CH,
+    build_brick_table,
+    march_pallas,
+)
 from volumeraytracer_tpu.ops import march as march_ops
 from volumeraytracer_tpu.ops.fields import build_packed_field
 from volumeraytracer_tpu.types import FIX_ONE, STEP_CONST
@@ -23,27 +27,35 @@ def _scene(n=40):
     return jnp.asarray(ior), jnp.asarray(translucency)
 
 
-def test_corner_table_matches_packed():
+def test_brick_table_matches_packed():
+    from volumeraytracer_tpu.ops.fields import cropped_translucency
+
     ior, tr = _scene(12)
     packed = build_packed_field(ior, tr)
-    t4 = np.asarray(build_corner_table(packed))  # (Xc, Yc, Zc//4, 128)
-    Xc, Yc, Zc4, L = t4.shape
-    assert L == 128 and Xc % 8 == 0 and (Zc4 * 4) % 16 == 0
-    table = t4.reshape(Xc, Yc, Zc4 * 4, 32)  # undo 4-cells-per-row packing
+    trc = cropped_translucency(tr)
+    table, nb = build_brick_table(packed, trc)
+    table = np.asarray(table)
+    nbx, nby, nbz = nb
+    assert table.shape == (nbx * nby * nbz, CH, BX * BY * BZ)
     p = np.asarray(packed)
     cx, cy, cz = (s - 1 for s in p.shape[:-1])
-    # corner o = (dx*2+dy)*2+dz in product order
-    o = 0
-    for dx_ in (0, 1):
-        for dy_ in (0, 1):
-            for dz_ in (0, 1):
-                np.testing.assert_array_equal(
-                    table[:cx, :cy, :cz, o * 4 : o * 4 + 4],
-                    p[dx_ : dx_ + cx, dy_ : dy_ + cy, dz_ : dz_ + cz],
-                )
-                o += 1
-    # padded region is zero
-    assert (table[cx:] == 0).all()
+    # spot-check every valid cell against the packed field
+    rng = np.random.default_rng(1)
+    for _ in range(50):
+        x, y, z = rng.integers(0, cx), rng.integers(0, cy), rng.integers(0, cz)
+        b = ((x // BX) * nby + (y // BY)) * nbz + (z // BZ)
+        j = ((x % BX) * BY + (y % BY)) * BZ + (z % BZ)
+        o = 0
+        for dx_ in (0, 1):
+            for dy_ in (0, 1):
+                for dz_ in (0, 1):
+                    np.testing.assert_array_equal(
+                        table[b, o * 4 : o * 4 + 4, j], p[x + dx_, y + dy_, z + dz_]
+                    )
+                    o += 1
+        expect_absorb = (0xFFFFFFFF - float(np.asarray(trc)[x, y, z])) / 0xFFFFFFFF
+        np.testing.assert_allclose(table[b, 32, j], expect_absorb, atol=1e-7)
+        assert (table[b, 33:, j] == 0).all()
 
 
 @pytest.mark.parametrize("budget", [64, 300])
@@ -98,6 +110,62 @@ def test_pallas_march_matches_jnp(budget):
     # at ~0.032 voxels/step): mid-flight termination parity is exercised
     if budget >= 300:
         assert (np.asarray(res.end_iteration) < budget).any()
+
+
+def test_pallas_march_absorption_matches_jnp():
+    """Absorption + minimum_brightness inside the Pallas kernel (the
+    reference hot-loop feature .cu:337-341 the round-1 kernel lacked)."""
+    from volumeraytracer_tpu.ops.fields import cropped_translucency
+
+    n = 32
+    ior = np.full((n, n, n), 1.2, np.float32)
+    # semi-transparent medium: lose ~1/400 of full brightness per step
+    tr = np.full((n, n, n), 0xFFFFFFFF - int(0xFFFFFFFF / 400), np.uint32)
+    packed = build_packed_field(jnp.asarray(ior), jnp.asarray(tr))
+    trc = cropped_translucency(jnp.asarray(tr))
+
+    n_rays = 16
+    rng = np.random.default_rng(3)
+    pos = np.stack(
+        [
+            np.full(n_rays, 1.5, np.float32),
+            rng.uniform(3.0, 26.0, n_rays).astype(np.float32),
+            rng.uniform(3.0, 26.0, n_rays).astype(np.float32),
+        ],
+        axis=-1,
+    )
+    dirs = np.tile(np.array([[16.0, 0.5, -0.25]], np.float32), (n_rays, 1))
+    inv = 2.0
+    bend = inv / float(FIX_ONE)
+    step = inv * (STEP_CONST / float(FIX_ONE) / float(FIX_ONE))
+    budget = 500
+    minb = int(0.5 * 0xFFFFFFFF)  # rays go dark after ~200 steps
+
+    ref = march_ops.march_float(
+        packed, trc, jnp.asarray(pos), jnp.asarray(dirs), budget,
+        bend_scale=bend, step_scale=step, chunk_steps=64,
+        minimum_brightness=minb,
+    )
+    res = march_pallas(
+        packed, jnp.asarray(pos), jnp.asarray(dirs), budget,
+        bend_scale=bend, step_scale=step, translucency=trc,
+        minimum_brightness=minb, k_steps=16, interpret=True,
+    )
+    it_ref = np.asarray(ref.end_iteration)
+    assert (it_ref < budget).all()  # the dark exit fired
+    # brightness is f32 in the kernel vs uint32 in XLA: one step of slack
+    np.testing.assert_allclose(
+        np.asarray(res.end_iteration).astype(np.int64), it_ref, atol=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.remaining_light).astype(np.float64),
+        np.asarray(ref.remaining_light).astype(np.float64),
+        rtol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.end_position), np.asarray(ref.end_position),
+        rtol=0, atol=2e-3,
+    )
 
 
 def test_scene_api_pallas_kernel_matches_xla():

@@ -1,32 +1,41 @@
-"""Pallas TPU forward march kernel — brick-walking, MXU one-hot gather.
+"""Pallas TPU forward march kernel — brick-resident one-hot MXU gather.
 
 TPU-first re-design of the reference hot loop (``trace_ray_function``,
-/root/reference/src/cuda_volume_raytracer.cu:317-374) around the three TPU
-constraints SURVEY.md §7 calls out:
+/root/reference/src/cuda_volume_raytracer.cu:317-374).  Round-2 rewrite built
+from measured chip behaviour (benchmarks/probe_timing.py):
 
-  * **gather-hostile memory**: the per-step 8-corner read becomes
-    (a) a *corner-duplicated* field table (each cell's row holds all
-    8 corners × 4 channels — the VMEM analogue of the CUDA texture's
-    cached neighbourhood loads, .cu:130-155),
-    (b) a **brick** of 8×8×16 cells (128 KB) DMA'd HBM→VMEM on demand,
-    (c) a per-ray **corner cache** refreshed every K steps by a one-hot
-    MXU matmul over the brick (gather-by-matmul: the only fast dynamic
-    addressing on this hardware generation — ``tpu.dynamic_gather`` along
-    sublanes is not available on the target libtpu),
-  * **ray divergence**: lanes are predicated; a lane that leaves its 2×2×2
-    cell *stalls* until the next refresh (≤ K-1 steps); each refresh window
-    the kernel marches the lanes of the *minimum* live brick id and DMAs a
-    new brick only when that id changes — an in-kernel scheduler replacing
-    the reference's per-ray ``break`` divergence,
-  * **dispatch overhead**: the ENTIRE march (up to the full iteration
-    budget) runs in ONE pallas_call; the driver only sorts rays once by
-    brick id for locality (the TPU equivalent of the reference's
-    0x8000-ray chunk scheduler, .cu:798-946).
+  * per-(8,128)-tile step math costs ~0.04 us — the VPU is nowhere near the
+    bottleneck;
+  * an (8×) per-sublane broadcast-compare one-hot + MXU ``dot_general`` gather
+    of a whole 1024-cell brick costs ~0.6-1.5 us — cheap when amortised over
+    a K-step refresh window;
+  * the axon relay charges ~55 ms per *dispatch*, so the ENTIRE march (all
+    windows, all DMAs) runs inside ONE ``pallas_call``.
 
-Layouts: ray state lives as (8, 128) tiles (R = 1024 rays per grid program);
-all per-step math is full-width VPU work.  The only relayouts are one
-transpose pair per refresh (cell indices to row-major for the one-hot, the
-gathered (1024, 32) cache back to 32 × (8, 128) channel tiles).
+Design (per grid program = one tile of R = 1024 rays in (8, 128) layout):
+
+  1. The field is preprocessed into a **brick table** ``(NB, 40, 1024)``:
+     brick = 8×8×16 cells; each cell's row holds its 8 trilinear corners ×
+     4 channels (corner-duplicated — the VMEM analogue of the CUDA texture
+     cache, .cu:130-155) + 1 absorption channel + 7 zero pad.
+  2. An in-kernel **window scheduler** (while-loop): each of the 8 sublanes
+     (128 rays) keeps its own resident brick in VMEM; per window, every
+     sublane computes the *minimum* live brick id of its rays, DMAs that
+     brick HBM→VMEM when it changed (all 8 DMAs overlapped), and marches its
+     rays of that brick for ``k_steps`` fixed steps; rays in other bricks
+     (or that leave their 2×2×2 interpolation cell) stall — predication
+     replaces the reference's per-ray ``break`` divergence, and per-sublane
+     residency keeps occupancy up when a tile's rays spread over bricks.
+  3. The per-window **refresh** gathers every ray's 40-channel corner row by
+     a broadcast-compare one-hot (iota == cell_id) and one MXU matmul per
+     sublane — gather-by-matmul, the only fast dynamic addressing on this
+     hardware (``tpu.dynamic_gather`` is unavailable on the target libtpu;
+     see probe_mosaic.py probe A).
+
+The driver sorts rays once by brick id for locality (the TPU equivalent of
+the reference's 0x8000-ray chunk scheduler, .cu:798-946).  Efficiency
+requires *coherent* rays (≳ a brick's worth of rays per brick, e.g. camera
+bundles) — scattered rays serialise over bricks, the documented trade.
 """
 
 from __future__ import annotations
@@ -45,200 +54,256 @@ from ..types import TraceResult
 # rays per grid program: one (sublane, lane) tile set
 RS, RL = 8, 128
 R = RS * RL
-# brick extent in cells; 8*8*16 = 1024 cells = 256 table rows (4 z-cells/row)
+# brick extent in cells
 BX, BY, BZ = 8, 8, 16
-BV = BX * BY * BZ
-BR = BV // 4  # brick table rows (128 lanes each)
-CH = 4  # dim + 1 field channels (3D)
+BV = BX * BY * BZ  # cells per brick = one-hot contraction length
+CH = 40  # 8 corners × 4 field channels + absorption + 7 pad
+NCH = 4  # interpolated field channels (3D: dx, dy, dz, opacity)
+ABSORB_CH = 32  # table row slot of the per-cell absorption fraction
 DEAD_ID = 0x7FFFFFFF  # plain int: jnp constants may not be captured by kernels
+BRIGHT_MAX_F = float(0xFFFFFFFF)
 
 
-def build_corner_table(packed: jax.Array) -> jax.Array:
-    """Corner-duplicated cell table, padded to brick multiples and packed
-    four z-cells per 128-lane row (HBM DMA slices must be lane-aligned).
+def brick_grid(packed_shape) -> Tuple[int, int, int]:
+    """Brick-grid extents for a packed field's spatial shape."""
+    cx, cy, cz = (int(s) - 1 for s in packed_shape[:3])
+    return (-(-cx // BX), -(-cy // BY), -(-cz // BZ))
 
-    packed: (X, Y, Z, 4) float32 (the preprocessed diff field).
-    Returns (Xc, Yc, Zc//4, 128) with Xc/Yc mult. of 8, Zc mult. of 16:
-    lane ``(z % 4) * 32 + o*4 + c`` of row ``(x, y, z//4)`` holds
-    ``packed[x+dx(o), y+dy(o), z+dz(o), c]`` for corner o with bits
-    (dx, dy, dz) in itertools.product order (matching
-    ops.interp._weights_product).  Cells outside the valid grid are zero;
-    rays never evaluate them (global bounds predication).
-    """
+
+@functools.partial(jax.jit, static_argnames=("has_translucency",))
+def _build_brick_table_jit(packed, translucency, *, has_translucency):
+    """Slab-chunked table build: one x-row of bricks at a time via lax.map,
+    keeping every (tile-padded) intermediate to ~hundreds of MB even at 256³
+    (a single whole-volume 7-D transpose pads 3.2× and OOMs)."""
     X, Y, Z, C = packed.shape
-    assert C == CH
-    cx, cy, cz = X - 1, Y - 1, Z - 1  # valid cells per axis
-    corners = []
-    for dx in (0, 1):
-        for dy in (0, 1):
-            for dz in (0, 1):
-                corners.append(packed[dx : dx + cx, dy : dy + cy, dz : dz + cz, :])
-    table = jnp.concatenate(corners, axis=-1)  # (cx, cy, cz, 32)
-    Xc = -(-cx // BX) * BX
-    Yc = -(-cy // BY) * BY
-    Zc = -(-cz // BZ) * BZ
-    table = jnp.pad(table, ((0, Xc - cx), (0, Yc - cy), (0, Zc - cz), (0, 0)))
-    return table.reshape(Xc, Yc, Zc // 4, 128)
+    nbx, nby, nbz = brick_grid(packed.shape)
+    CY, CZ = nby * BY, nbz * BZ  # padded cell extents (y, z)
+    # pad the point grid so every brick's cells have all 8 corners addressable
+    packed_p = jnp.pad(
+        packed,
+        ((0, nbx * BX + 1 - X), (0, CY + 1 - Y), (0, CZ + 1 - Z), (0, 0)),
+    )
+    if has_translucency:
+        absorb = (
+            jnp.float32(BRIGHT_MAX_F) - translucency.astype(jnp.float32)
+        ) / jnp.float32(BRIGHT_MAX_F)
+    else:
+        absorb = jnp.zeros((1, 1, 1), jnp.float32)
+    absorb_p = jnp.pad(
+        absorb,
+        (
+            (0, max(0, nbx * BX - absorb.shape[0])),
+            (0, max(0, CY - absorb.shape[1])),
+            (0, max(0, CZ - absorb.shape[2])),
+        ),
+    )[: nbx * BX, :CY, :CZ]
+
+    def slab(bx):
+        sl = jax.lax.dynamic_slice(
+            packed_p, (bx * BX, 0, 0, 0), (BX + 1, CY + 1, CZ + 1, C)
+        )
+        parts = []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    parts.append(sl[dx : dx + BX, dy : dy + CY, dz : dz + CZ, :])
+        ab = jax.lax.dynamic_slice(absorb_p, (bx * BX, 0, 0), (BX, CY, CZ))
+        parts.append(ab[..., None])
+        parts.append(jnp.zeros((BX, CY, CZ, CH - 33), jnp.float32))
+        t = jnp.concatenate(parts, axis=-1)  # (BX, CY, CZ, CH)
+        t = t.reshape(BX, nby, BY, nbz, BZ, CH).transpose(1, 3, 5, 0, 2, 4)
+        return t.reshape(nby * nbz, CH, BV)
+
+    out = jax.lax.map(slab, jnp.arange(nbx))  # (nbx, nby*nbz, CH, BV)
+    return out.reshape(nbx * nby * nbz, CH, BV)
+
+
+def build_brick_table(
+    packed: jax.Array, translucency: Optional[jax.Array] = None
+) -> Tuple[jax.Array, Tuple[int, int, int]]:
+    """Brick-major corner-duplicated cell table.
+
+    packed: (X, Y, Z, 4) float32 preprocessed diff field (ops/fields.py).
+    translucency: optional (X, Y, Z) uint32 cropped translucency grid
+      (``cropped_translucency``) — encoded as the per-step absorption
+      fraction ``(0xFFFFFFFF - tr) / 0xFFFFFFFF`` (≙ .cu:337-341, in the
+      float brightness convention where 1.0 = 0xFFFFFFFF).
+
+    Returns ``(table, nb)``: table (NB, 40, 1024) f32 with
+    ``table[b, o*4+c, (lx*BY+ly)*BZ+lz]`` = channel ``c`` of corner ``o``
+    (product (dx,dy,dz) order) of cell ``(bx*BX+lx, ...)`` of brick
+    ``b = (bx*nby + by)*nbz + bz``; row 32 = absorption; rows 33-39 zero.
+    Cells outside the valid grid are zero (never evaluated: global bounds
+    predication).
+    """
+    assert packed.shape[-1] == NCH
+    nb = brick_grid(packed.shape)
+    if translucency is None:
+        translucency = jnp.zeros((1, 1, 1), jnp.uint32)  # unused placeholder
+        has = False
+    else:
+        has = True
+    return _build_brick_table_jit(packed, translucency, has_translucency=has), nb
 
 
 def _march_kernel(
     # inputs
-    table_ref,  # (Xc, Yc, Zc, 32) f32 in ANY/HBM
-    px_ref, py_ref, pz_ref,  # (R,) f32 blocks
-    dx_ref, dy_ref, dz_ref,  # (R,) f32 blocks
-    rem_ref, alive_ref,  # (R,) i32 blocks
+    table_ref,  # (NB, CH, BV) f32 in ANY/HBM
+    px_ref, py_ref, pz_ref,  # (8, 128) f32 blocks
+    dx_ref, dy_ref, dz_ref,  # (8, 128) f32 blocks
+    rem_ref, alive_ref,  # (8, 128) i32 blocks
+    br_ref,  # (8, 128) f32 brightness block
     # outputs
-    opx_ref, opy_ref, opz_ref, odx_ref, ody_ref, odz_ref, orem_ref, oalive_ref,
+    opx_ref, opy_ref, opz_ref, odx_ref, ody_ref, odz_ref,
+    orem_ref, oalive_ref, obr_ref, ow_ref,
     # scratch
-    brick_ref,  # (BX, BY, BZ//4, 128) f32
-    cache_ref,  # (32, RS, RL) f32 — per-ray corner cache, one slot per chan
+    brick_ref,  # (CH, BV) f32 resident brick
     dma_sem,
     *,
     max_windows: int,
     k_steps: int,
     bounds: Tuple[int, int, int],
-    nb: Tuple[int, int, int],  # brick-grid extents
+    nb: Tuple[int, int, int],
     bend: Tuple[float, float, float],
     step: Tuple[float, float, float],
+    min_bright: float,
+    precision,
 ):
-    shape = (RS, RL)
     xb = jnp.float32(bounds[0] - 1)
     yb = jnp.float32(bounds[1] - 1)
     zb = jnp.float32(bounds[2] - 1)
     bendx, bendy, bendz = (jnp.float32(b) for b in bend)
     stepx, stepy, stepz = (jnp.float32(s) for s in step)
     nbx, nby, nbz = (jnp.int32(v) for v in nb)
+    minb = jnp.float32(min_bright)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BV, RL), 0)
 
     state0 = (
         px_ref[:], py_ref[:], pz_ref[:],
         dx_ref[:], dy_ref[:], dz_ref[:],
         rem_ref[:],
         alive_ref[:],  # i32 mask: bool select_n is unsupported
+        br_ref[:],
     )
 
     def cond(carry):
-        w, prev_id, state = carry
+        w, prev_ids, state = carry
         return (w < max_windows) & jnp.any(state[7] != 0)
 
     def window_body(carry):
-        w, prev_id, state = carry
-        px, py, pz, dx, dy, dz, rem, alive = state
+        w, prev_ids, state = carry
+        px, py, pz, dx, dy, dz, rem, alive, br = state
 
-        # ---- per-lane brick id; current brick = min over live lanes ----
-        cbx = jnp.clip(jnp.floor(px).astype(jnp.int32) // BX, 0, nbx - 1)
-        cby = jnp.clip(jnp.floor(py).astype(jnp.int32) // BY, 0, nby - 1)
-        cbz = jnp.clip(jnp.floor(pz).astype(jnp.int32) // BZ, 0, nbz - 1)
+        # ---- per-lane brick id; per-sublane current = min over its lanes ----
+        fpx = jnp.floor(px)
+        fpy = jnp.floor(py)
+        fpz = jnp.floor(pz)
+        cbx = jnp.clip(fpx.astype(jnp.int32) // BX, 0, nbx - 1)
+        cby = jnp.clip(fpy.astype(jnp.int32) // BY, 0, nby - 1)
+        cbz = jnp.clip(fpz.astype(jnp.int32) // BZ, 0, nbz - 1)
         ids = (cbx * nby + cby) * nbz + cbz
         ids = jnp.where(alive != 0, ids, DEAD_ID)
-        cur = jnp.min(ids)
+        curs = [jnp.min(ids[s : s + 1, :]) for s in range(RS)]  # scalars
 
-        @pl.when(cur != prev_id)
-        def _():
-            b2 = cur // nbz
-            ox = (b2 // nby) * BX
-            oy = (b2 % nby) * BY
-            ozr = (cur % nbz) * (BZ // 4)  # row units: 4 z-cells per row
-            cp = pltpu.make_async_copy(
-                table_ref.at[pl.ds(ox, BX), pl.ds(oy, BY), pl.ds(ozr, BZ // 4), :],
-                brick_ref,
-                dma_sem,
-            )
-            cp.start()
-            cp.wait()
+        # overlapped conditional DMAs: start all changed bricks, then wait
+        for s in range(RS):
+            @pl.when((curs[s] != prev_ids[s]) & (curs[s] != DEAD_ID))
+            def _(s=s):
+                pltpu.make_async_copy(
+                    table_ref.at[pl.ds(curs[s], 1)],
+                    brick_ref.at[pl.ds(s, 1)],
+                    dma_sem.at[s],
+                ).start()
+        for s in range(RS):
+            @pl.when((curs[s] != prev_ids[s]) & (curs[s] != DEAD_ID))
+            def _(s=s):
+                pltpu.make_async_copy(
+                    table_ref.at[pl.ds(curs[s], 1)],
+                    brick_ref.at[pl.ds(s, 1)],
+                    dma_sem.at[s],
+                ).wait()
+        new_ids = tuple(
+            jnp.where(curs[s] != DEAD_ID, curs[s], prev_ids[s]) for s in range(RS)
+        )
 
-        # (BX, BY, BZ//4, 128) → (BR, 128); static lane slices per z-quarter
-        brick_flat = brick_ref[:].reshape(BR, RL)
-        rhs = [brick_flat[:, 32 * q : 32 * (q + 1)] for q in range(4)]
-        in_cur = (alive != 0) & (ids == cur)
+        # (8, 1) per-sublane current brick, broadcast against lanes
+        cur_col = jnp.concatenate(
+            [jnp.full((1, RL), 1, jnp.int32) * curs[s] for s in range(RS)], axis=0
+        )
+        in_cur = (alive != 0) & (ids == cur_col)
 
-        # local cell coords inside the current brick
-        b2 = cur // nbz
+        # local cell id inside each sublane's brick (valid for in_cur lanes)
+        b2 = cur_col // nbz
         oxf = ((b2 // nby) * BX).astype(jnp.float32)
         oyf = ((b2 % nby) * BY).astype(jnp.float32)
-        ozf = ((cur % nbz) * BZ).astype(jnp.float32)
-        lx = jnp.clip((jnp.floor(px) - oxf).astype(jnp.int32), 0, BX - 1)
-        ly = jnp.clip((jnp.floor(py) - oyf).astype(jnp.int32), 0, BY - 1)
-        lz = jnp.clip((jnp.floor(pz) - ozf).astype(jnp.int32), 0, BZ - 1)
-        row = (lx * BY + ly) * (BZ // 4) + (lz >> 2)  # (8,128) in [0, BR)
-        quarter = lz & 3
+        ozf = ((cur_col % nbz) * BZ).astype(jnp.float32)
+        lx = jnp.clip((fpx - oxf).astype(jnp.int32), 0, BX - 1)
+        ly = jnp.clip((fpy - oyf).astype(jnp.int32), 0, BY - 1)
+        lz = jnp.clip((fpz - ozf).astype(jnp.int32), 0, BZ - 1)
+        lid = (lx * BY + ly) * BZ + lz  # (8, 128) in [0, BV)
 
-        # ---- refresh: one-hot MXU gather of the 32-channel corner rows ----
-        # Mosaic cannot shape-cast (8,128)→(1024,1); assemble the row-major
-        # one-hot from per-sublane-row transposes + a sublane concat instead.
-        row_t = row.T  # (RL, RS) — 2D transpose is supported
-        q_t = quarter.T
-        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (RL, RL), 1)
-        acc = jnp.zeros((R, 32), jnp.float32)
-        for chunk in range(BR // RL):
-            rowmatch = [
-                row_t[:, s : s + 1] == lane_ids + chunk * RL for s in range(RS)
-            ]
-            for q in range(4):
-                onehot = jnp.concatenate(
-                    [
-                        (rowmatch[s] & (q_t[:, s : s + 1] == q)).astype(jnp.float32)
-                        for s in range(RS)
-                    ],
-                    axis=0,
-                )  # (R, RL): row s*RL+l = ray (sublane s, lane l)
-                acc = acc + jax.lax.dot_general(
+        # ---- refresh: per-sublane one-hot gather of the 40-channel rows ----
+        # cache[c, s, l] = brick[s, c, lid[s, l]] for in_cur rays (else junk)
+        parts = []
+        for s in range(RS):
+            onehot = (iota == lid[s : s + 1, :]).astype(jnp.float32)
+            parts.append(
+                jax.lax.dot_general(
+                    brick_ref[s],
                     onehot,
-                    rhs[q][chunk * RL : (chunk + 1) * RL, :],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=precision,
                 )
-        # acc row ordering: rows [s*RL + l] hold ray (sublane s, lane l)
-        # of the (8,128) tiles.  Back to channel-tile layout via per-group
-        # transposes, materialised into VMEM scratch so the inner step loop
-        # reads clean (RS, RL) tiles instead of re-laying out concat chains
-        # every step.
-        for s in range(RS):
-            cache_ref[:, s, :] = acc[s * RL : (s + 1) * RL, :].T  # (32, RL)
-        cache = [cache_ref[oc] for oc in range(32)]  # 32 × (RS, RL) tiles
+            )  # (CH, RL)
+        cache = jnp.stack(parts, axis=1)  # (CH, RS, RL)
 
         # cell anchor for this refresh window
-        basex = jnp.floor(px)
-        basey = jnp.floor(py)
-        basez = jnp.floor(pz)
+        basex, basey, basez = fpx, fpy, fpz
 
         def step_body(k, carry):
-            px, py, pz, dx, dy, dz, rem, alive = carry
+            px, py, pz, dx, dy, dz, rem, alive, br = carry
             fx = px - basex
             fy = py - basey
             fz = pz - basez
             crossed = (
                 (fx < 0) | (fx >= 1.0) | (fy < 0) | (fy >= 1.0) | (fz < 0) | (fz >= 1.0)
             )
+            inb = (
+                (px >= 0) & (px < xb) & (py >= 0) & (py < yb) & (pz >= 0) & (pz < zb)
+            )
+            rem_ok = rem > 0
             evaluable = in_cur & (alive != 0) & ~crossed
+            # the reference evaluates the loop condition before the body
+            # (.cu:335): a lane that stepped out of bounds or out of budget
+            # dies here even while it is stalled
+            cond_l = evaluable & inb & rem_ok
+
+            # absorption (≙ .cu:337-341): point-sampled at the anchor cell;
+            # brightness in [0,1] with 1.0 = 0xFFFFFFFF
+            absorb = cache[ABSORB_CH]
+            nbr = jnp.maximum(br - absorb, 0.0)
+            br = jnp.where(cond_l, nbr, br)
+            dark = br < minb
 
             gx = 1.0 - fx
             gy = 1.0 - fy
             gz = 1.0 - fz
-            # corner weights in product((0,1),^3) order (x slowest)
-            w = (
+            # corner weights in product((0,1)^3) order (x slowest)
+            wts = (
                 gx * gy * gz, gx * gy * fz, gx * fy * gz, gx * fy * fz,
                 fx * gy * gz, fx * gy * fz, fx * fy * gz, fx * fy * fz,
             )
-            interp = [jnp.zeros(shape, jnp.float32) for _ in range(CH)]
+            interp = [jnp.zeros((RS, RL), jnp.float32) for _ in range(NCH)]
             for o in range(8):
-                for c in range(CH):
-                    interp[c] = interp[c] + w[o] * cache[o * CH + c]
+                for c in range(NCH):
+                    interp[c] = interp[c] + wts[o] * cache[o * NCH + c]
 
-            inb = (
-                (px >= 0) & (px < xb) & (py >= 0) & (py < yb) & (pz >= 0) & (pz < zb)
-            )
             opaque = interp[3] > 0.0
-            rem_ok = rem > 0
-            ok = evaluable & inb & rem_ok & ~opaque
-            # opaque termination needs a valid interp (evaluable lanes);
-            # bounds/budget exhaustion kill a lane even while it is stalled
-            # (the reference's loop condition runs before the interpolation,
-            # cuda_volume_raytracer.cu:335).  Pure logical ops: select_n on
-            # 1-bit vectors does not lower on this Mosaic version.
-            alive_b = (evaluable & ok) | (
-                ~evaluable & ((alive != 0) & inb & rem_ok)
-            )
+            ok = cond_l & ~dark & ~opaque
+            # pure logical ops: select_n on 1-bit vectors does not lower on
+            # this Mosaic version
+            alive_b = ok | (~evaluable & ((alive != 0) & inb & rem_ok))
             alive = alive_b.astype(jnp.int32)
 
             ndx = dx + interp[0] * bendx
@@ -252,17 +317,17 @@ def _march_kernel(
             dy = jnp.where(ok, ndy, dy)
             dz = jnp.where(ok, ndz, dz)
             rem = jnp.where(ok, rem - 1, rem)
-            return px, py, pz, dx, dy, dz, rem, alive
+            return px, py, pz, dx, dy, dz, rem, alive, br
 
         state = jax.lax.fori_loop(
-            0, k_steps, step_body, (px, py, pz, dx, dy, dz, rem, alive)
+            0, k_steps, step_body, (px, py, pz, dx, dy, dz, rem, alive, br)
         )
-        return w + 1, cur, state
+        return w + 1, new_ids, state
 
-    _, _, state = jax.lax.while_loop(
-        cond, window_body, (jnp.int32(0), jnp.int32(-1), state0)
+    w, _, state = jax.lax.while_loop(
+        cond, window_body, (jnp.int32(0), (jnp.int32(-1),) * RS, state0)
     )
-    px, py, pz, dx, dy, dz, rem, alive = state
+    px, py, pz, dx, dy, dz, rem, alive, br = state
 
     opx_ref[:] = px
     opy_ref[:] = py
@@ -272,18 +337,22 @@ def _march_kernel(
     odz_ref[:] = dz
     orem_ref[:] = rem
     oalive_ref[:] = alive
+    obr_ref[:] = br
+    # windows used (saturation detector: == max_windows ⇒ truncated march)
+    ow_ref[:] = jnp.full((RS, RL), 1, jnp.int32) * w
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "budget", "k_steps", "max_windows", "interpret",
-        "bounds", "nb", "bend", "step", "n_tiles",
+        "bounds", "nb", "bend", "step", "min_bright", "n_tiles", "precision",
     ),
 )
 def _march_call(
-    table, px, py, pz, dx, dy, dz, rem, alive,
-    *, budget, k_steps, max_windows, interpret, bounds, nb, bend, step, n_tiles,
+    table, px, py, pz, dx, dy, dz, rem, alive, br,
+    *, budget, k_steps, max_windows, interpret, bounds, nb, bend, step,
+    min_bright, n_tiles, precision,
 ):
     kernel = functools.partial(
         _march_kernel,
@@ -293,33 +362,30 @@ def _march_call(
         nb=nb,
         bend=bend,
         step=step,
+        min_bright=min_bright,
+        precision=precision,
     )
     n = n_tiles * R
     # state travels as (rows, 128) — the kernel sees native (8, 128) tiles
-    # and never needs a cross-lane shape cast
     state_spec = pl.BlockSpec((RS, RL), lambda t: (t, 0))
-    out_shape = [
-        *[jax.ShapeDtypeStruct((n // RL, RL), jnp.float32)] * 6,
-        jax.ShapeDtypeStruct((n // RL, RL), jnp.int32),
-        jax.ShapeDtypeStruct((n // RL, RL), jnp.int32),
-    ]
+    f32s = jax.ShapeDtypeStruct((n // RL, RL), jnp.float32)
+    i32s = jax.ShapeDtypeStruct((n // RL, RL), jnp.int32)
     call = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # corner table stays in HBM
-            *[state_spec] * 8,
+            pl.BlockSpec(memory_space=pl.ANY),  # brick table stays in HBM
+            *[state_spec] * 9,
         ],
-        out_specs=[state_spec] * 8,
-        out_shape=out_shape,
+        out_specs=[state_spec] * 10,
+        out_shape=[f32s] * 6 + [i32s, i32s, f32s, i32s],
         scratch_shapes=[
-            pltpu.VMEM((BX, BY, BZ // 4, RL), jnp.float32),
-            pltpu.VMEM((32, RS, RL), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((RS, CH, BV), jnp.float32),
+            pltpu.SemaphoreType.DMA((RS,)),
         ],
         interpret=interpret,
     )
-    return call(table, px, py, pz, dx, dy, dz, rem, alive)
+    return call(table, px, py, pz, dx, dy, dz, rem, alive, br)
 
 
 def march_pallas(
@@ -330,30 +396,34 @@ def march_pallas(
     *,
     bend_scale,
     step_scale,
-    k_steps: int = 8,
+    translucency: Optional[jax.Array] = None,
+    minimum_brightness: int = 0,
+    k_steps: int = 16,
     max_windows: Optional[int] = None,
     interpret: bool = False,
     sort_rays: bool = True,
+    precision=jax.lax.Precision.HIGHEST,
+    table: Optional[jax.Array] = None,
+    nb: Optional[Tuple[int, int, int]] = None,
 ) -> TraceResult:
     """Forward float march through ``packed`` using the brick-walking kernel.
 
     Semantics identical to ``ops.march.march_float(..., opaque_when_positive=
-    True, nearest=False)`` with no translucency (the brightness/absorption
-    path falls back to the XLA march).  Positions in the packed-grid frame.
+    True, nearest=False)`` including absorption/minimum-brightness
+    (brightness carried as float32 with 1.0 = 0xFFFFFFFF).  Positions in the
+    packed-grid frame.  Pass a prebuilt ``(table, nb)`` (from
+    ``build_brick_table``) to skip rebuilding it per call.
     """
-    assert packed.ndim == 4 and packed.shape[-1] == CH, "3D packed field required"
+    assert packed.ndim == 4 and packed.shape[-1] == NCH, "3D packed field required"
     n_in, dim = start_position.shape
     assert dim == 3
     bounds = tuple(int(s) for s in packed.shape[:-1])
     bend = tuple(float(b) for b in np.broadcast_to(np.asarray(bend_scale, np.float32), (3,)))
     step = tuple(float(s) for s in np.broadcast_to(np.asarray(step_scale, np.float32), (3,)))
 
-    table = build_corner_table(packed)  # (Xc, Yc, Zc//4, 128)
-    nb = (
-        int(table.shape[0]) // BX,
-        int(table.shape[1]) // BY,
-        int(table.shape[2]) * 4 // BZ,
-    )
+    if table is None:
+        table, nb = build_brick_table(packed, translucency)
+    assert nb is not None
 
     # pad ray count to a tile multiple
     n = -(-n_in // R) * R
@@ -381,9 +451,11 @@ def march_pallas(
     # budget-1: the reference consumes one slot for the start path entry
     # (cuda_volume_raytracer.cu:333; see ops.march.march_float)
     rem = jnp.full((n,), budget - 1, jnp.int32)
+    br = jnp.ones((n,), jnp.float32)
     if max_windows is None:
-        # every window the min-brick group either steps or dies; generous cap
-        max_windows = 2 * -(-budget // max(1, k_steps)) + 8 * int(np.prod(nb)) + 64
+        # every window the min-brick group either steps or dies; the ow
+        # output reports saturation if a pathological ray layout exceeds it
+        max_windows = 2 * budget + 64
 
     rows = n // RL
     outs = _march_call(
@@ -392,26 +464,36 @@ def march_pallas(
         pos[:, 2].reshape(rows, RL),
         dirs[:, 0].reshape(rows, RL), dirs[:, 1].reshape(rows, RL),
         dirs[:, 2].reshape(rows, RL),
-        rem.reshape(rows, RL), alive.reshape(rows, RL),
+        rem.reshape(rows, RL), alive.reshape(rows, RL), br.reshape(rows, RL),
         budget=budget, k_steps=k_steps, max_windows=max_windows,
         interpret=interpret, bounds=bounds, nb=nb, bend=bend, step=step,
-        n_tiles=n // R,
+        min_bright=float(minimum_brightness) / BRIGHT_MAX_F,
+        n_tiles=n // R, precision=precision,
     )
-    outs = [o.reshape(n) for o in outs]
+    windows_used = outs[9][:: R // RL, 0]  # one entry per tile
+    outs = [o.reshape(n) for o in outs[:9]]
     if inv is not None:
         outs = [o[inv] for o in outs]
-    px, py, pz, dx, dy, dz, rem, alive = outs
+    px, py, pz, dx, dy, dz, rem, alive, br = outs
 
     end_pos = jnp.stack([px, py, pz], axis=-1)[:n_in]
     end_dir = jnp.stack([dx, dy, dz], axis=-1)[:n_in]
     rem = rem[:n_in]
     alive = alive[:n_in]
+    br = br[:n_in]
     end_remaining = jnp.where(alive != 0, 0, rem).astype(jnp.uint32)
     end_iteration = jnp.uint32(budget) - end_remaining
+    # f32 cannot represent 0xFFFFFFFF exactly: saturate explicitly
+    remaining_light = jnp.where(
+        br >= 1.0,
+        jnp.uint32(0xFFFFFFFF),
+        (br * BRIGHT_MAX_F).astype(jnp.uint32),
+    )
     return TraceResult(
         end_position=end_pos,
         end_direction=end_dir,
         end_iteration=end_iteration,
-        remaining_light=jnp.full((n_in,), 0xFFFFFFFF, jnp.uint32),
+        remaining_light=remaining_light,
         path=None,
+        windows_used=windows_used,
     )

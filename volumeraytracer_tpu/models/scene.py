@@ -147,17 +147,14 @@ class RaytraceScene:
                     unsupported.append("2D volumes")
                 if trace_path:
                     unsupported.append("trace_path")
-                if differentiable:
-                    unsupported.append("differentiable")
-                if self.translucency_cropped is not None and minimum_brightness > 0:
-                    unsupported.append("minimum_brightness")
                 if unsupported:
                     raise ValueError(
                         "kernel='pallas' does not support: " + ", ".join(unsupported)
                         + " (use kernel='xla')"
                     )
                 return self._trace_float_pallas(
-                    pos, dirs, tuple(invscale.tolist()), iterations, normalize_length
+                    pos, dirs, tuple(invscale.tolist()), iterations,
+                    minimum_brightness, normalize_length, differentiable,
                 )
             return self._trace_float(
                 pos,
@@ -263,12 +260,11 @@ class RaytraceScene:
         fn = self._float_fn(invscale, iterations, minimum_brightness, trace_path, normalize_length, chunk_steps, differentiable)
         return fn(self.packed, self.translucency_cropped, self.ior, pos, dirs)
 
-    def _trace_float_pallas(self, pos, dirs, invscale, iterations, normalize_length):
+    def _trace_float_pallas(self, pos, dirs, invscale, iterations,
+                            minimum_brightness, normalize_length, differentiable):
         """Float forward via the brick-walking Pallas TPU kernel
         (kernels/march_pallas.py); interpret mode off-TPU so the same path is
         testable on CPU (≙ the reference's -DNCUDA build of the kernel)."""
-        from ..kernels.march_pallas import march_pallas
-
         inv = np.asarray(invscale, np.float32)
         bend_scale = inv / float(FIX_ONE)
         step_scale = inv * (STEP_CONST / float(FIX_ONE) / float(FIX_ONE))
@@ -280,13 +276,19 @@ class RaytraceScene:
         else:
             p = pos - 1.0
         interpret = jax.default_backend() not in ("tpu", "axon")
-        res = march_pallas(
+        if differentiable:
+            from ..kernels.march_bwd import march_pallas_diff as march_fn
+        else:
+            from ..kernels.march_pallas import march_pallas as march_fn
+        res = march_fn(
             self.packed,
             p,
             dirs,
             iterations,
             bend_scale=bend_scale,
             step_scale=step_scale,
+            translucency=self.translucency_cropped,
+            minimum_brightness=minimum_brightness,
             interpret=interpret,
         )
         return TraceResult(

@@ -97,6 +97,9 @@ class TraceResult:
     end_iteration: jax.Array  # (N,) uint32
     remaining_light: jax.Array  # (N,) uint32
     path: Optional[jax.Array] = None  # (N, budget, dim) if requested
+    #: Pallas-kernel scheduler windows consumed per ray tile (None on XLA
+    #: paths); == the kernel's max_windows cap ⇒ the march was truncated
+    windows_used: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass
