@@ -167,6 +167,7 @@ def _march_kernel(
     bend: Tuple[float, float, float],
     step: Tuple[float, float, float],
     min_bright: float,
+    has_absorb: bool,
     precision,
 ):
     xb = jnp.float32(bounds[0] - 1)
@@ -193,6 +194,15 @@ def _march_kernel(
     def window_body(carry):
         w, prev_ids, state = carry
         px, py, pz, dx, dy, dz, rem, alive, br = state
+
+        # ---- window-level liveness (≙ the reference loop condition,
+        # .cu:335, evaluated here once per window: rays that stepped out of
+        # bounds or budget stall mid-window — they cannot move again — and
+        # are reaped here) ----
+        inb = (
+            (px >= 0) & (px < xb) & (py >= 0) & (py < yb) & (pz >= 0) & (pz < zb)
+        )
+        alive = jnp.where(inb & (rem > 0), alive, 0)
 
         # ---- per-lane brick id; per-sublane current = min over its lanes ----
         fpx = jnp.floor(px)
@@ -261,6 +271,12 @@ def _march_kernel(
         # cell anchor for this refresh window
         basex, basey, basez = fpx, fpy, fpz
 
+        # window-level evaluability: in_cur & not-crossed rays are inside
+        # their (in-bounds) anchor cell, so the per-step bounds check is
+        # subsumed — a ray that steps out of bounds simultaneously leaves
+        # its cell (crossed) and stalls until the reap above
+        evaluable_w = in_cur & (alive != 0)
+
         def step_body(k, carry):
             px, py, pz, dx, dy, dz, rem, alive, br = carry
             fx = px - basex
@@ -269,22 +285,19 @@ def _march_kernel(
             crossed = (
                 (fx < 0) | (fx >= 1.0) | (fy < 0) | (fy >= 1.0) | (fz < 0) | (fz >= 1.0)
             )
-            inb = (
-                (px >= 0) & (px < xb) & (py >= 0) & (py < yb) & (pz >= 0) & (pz < zb)
-            )
             rem_ok = rem > 0
-            evaluable = in_cur & (alive != 0) & ~crossed
-            # the reference evaluates the loop condition before the body
-            # (.cu:335): a lane that stepped out of bounds or out of budget
-            # dies here even while it is stalled
-            cond_l = evaluable & inb & rem_ok
+            cond_l = evaluable_w & ~crossed & rem_ok
 
-            # absorption (≙ .cu:337-341): point-sampled at the anchor cell;
-            # brightness in [0,1] with 1.0 = 0xFFFFFFFF
-            absorb = cache[ABSORB_CH]
-            nbr = jnp.maximum(br - absorb, 0.0)
-            br = jnp.where(cond_l, nbr, br)
-            dark = br < minb
+            if has_absorb:
+                # absorption (≙ .cu:337-341): point-sampled at the anchor
+                # cell; brightness in [0,1] with 1.0 = 0xFFFFFFFF.  Needs the
+                # *current* alive mask: a lane dead since mid-window must
+                # stop absorbing (its other updates self-block via ok)
+                nbr = jnp.maximum(br - cache[ABSORB_CH], 0.0)
+                br = jnp.where(cond_l & (alive != 0), nbr, br)
+                dark = br < minb
+            else:
+                dark = False
 
             gx = 1.0 - fx
             gy = 1.0 - fy
@@ -300,10 +313,15 @@ def _march_kernel(
                     interp[c] = interp[c] + wts[o] * cache[o * NCH + c]
 
             opaque = interp[3] > 0.0
-            ok = cond_l & ~dark & ~opaque
+            if has_absorb:
+                ok = cond_l & ~dark & ~opaque
+            else:
+                ok = cond_l & ~opaque
             # pure logical ops: select_n on 1-bit vectors does not lower on
-            # this Mosaic version
-            alive_b = ok | (~evaluable & ((alive != 0) & inb & rem_ok))
+            # this Mosaic version.  Mid-window deaths self-block: an opaque/
+            # dark/budget exit stays blocked by its own condition; a bounds
+            # exit stalls via `crossed` and is reaped at the next window.
+            alive_b = ok | (~(evaluable_w & ~crossed) & ((alive != 0) & rem_ok))
             alive = alive_b.astype(jnp.int32)
 
             ndx = dx + interp[0] * bendx
@@ -316,7 +334,7 @@ def _march_kernel(
             dx = jnp.where(ok, ndx, dx)
             dy = jnp.where(ok, ndy, dy)
             dz = jnp.where(ok, ndz, dz)
-            rem = jnp.where(ok, rem - 1, rem)
+            rem = rem - ok.astype(jnp.int32)
             return px, py, pz, dx, dy, dz, rem, alive, br
 
         state = jax.lax.fori_loop(
@@ -346,13 +364,14 @@ def _march_kernel(
     jax.jit,
     static_argnames=(
         "budget", "k_steps", "max_windows", "interpret",
-        "bounds", "nb", "bend", "step", "min_bright", "n_tiles", "precision",
+        "bounds", "nb", "bend", "step", "min_bright", "has_absorb",
+        "n_tiles", "precision",
     ),
 )
 def _march_call(
     table, px, py, pz, dx, dy, dz, rem, alive, br,
     *, budget, k_steps, max_windows, interpret, bounds, nb, bend, step,
-    min_bright, n_tiles, precision,
+    min_bright, has_absorb, n_tiles, precision,
 ):
     kernel = functools.partial(
         _march_kernel,
@@ -363,6 +382,7 @@ def _march_call(
         bend=bend,
         step=step,
         min_bright=min_bright,
+        has_absorb=has_absorb,
         precision=precision,
     )
     n = n_tiles * R
@@ -468,6 +488,7 @@ def march_pallas(
         budget=budget, k_steps=k_steps, max_windows=max_windows,
         interpret=interpret, bounds=bounds, nb=nb, bend=bend, step=step,
         min_bright=float(minimum_brightness) / BRIGHT_MAX_F,
+        has_absorb=translucency is not None,
         n_tiles=n // R, precision=precision,
     )
     windows_used = outs[9][:: R // RL, 0]  # one entry per tile
