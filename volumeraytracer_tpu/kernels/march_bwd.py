@@ -5,7 +5,7 @@ is a new requirement); this kernel supplies the gradient path for the
 brick-walking forward kernel (``march_pallas``) at kernel speed instead of
 the XLA scan-remat fallback (``ops.march.march_float(differentiable=True)``).
 
-Key idea — the eikonal step is an *exactly invertible* integrator
+Key idea — the eikonal step is an *algebraically invertible* integrator
 (/root/reference/src/cuda_volume_raytracer.cu:344-347 in float semantics):
 
     forward:   u = v + bend ⊙ g(x);        x' = x + step ⊙ u / |u|²
@@ -17,29 +17,36 @@ step (the executed-step count per ray is the only residual), and pushes the
 adjoints along:
 
     ū_j  = v̄'_j + step_j·ilen·x̄'_j − 2 u_j ilen² Σ_i step_i u_i x̄'_i
-    x̄_j  = x̄'_j + [∂g/∂x]ᵀ(bend ⊙ ū)            (trilinear weight Jacobian)
+    x̄_j  = x̄'_j + Σ_o (∂w_o/∂x_j) Σ_c C_oc bend_c ū_c   (weight Jacobian)
     v̄    = ū
-    C̄oc += w_o · bend_c · ū_c                     (field corner gradients)
+    C̄_oc += w_o · bend_c · ū_c                      (field corner gradients)
 
-Field gradients use the **transpose of the forward's one-hot MXU gather**:
-per refresh window the per-ray corner-gradient accumulator (R, 32) is
-scattered into the brick rows with ``onehotᵀ @ d_cache`` — gather-by-matmul
-and scatter-by-matmul are the same systolic-array trick. Brick gradients
-accumulate in a VMEM buffer and are flushed to a brick-major HBM table by
-read-modify-write DMA whenever the in-kernel scheduler switches bricks
-(sequential TPU grid ⇒ no races); the table arrives as an aliased zeros
+Float caveat: ``fl((x+t)-t) != x`` exactly, so the reconstruction drifts by
+O(ulp) per step; the drift only matters when it flips a floor() near a cell
+boundary (different corners feed g).  ``tests/test_pallas_bwd.py`` bounds the
+drift empirically via the kernel's ``recon_pos`` diagnostic output (the fully
+reverse-reconstructed start position).
+
+Structure mirrors the forward kernel exactly (per-sublane brick residency,
+window scheduler, one-hot MXU gather — see march_pallas.py): the gather's
+transpose is the scatter ``d_brick += d_cache @ onehotᵀ``, the same
+systolic-array trick.  Per-sublane brick gradients accumulate in VMEM and are
+flushed to a brick-major HBM grad table by read-modify-write DMA whenever
+that sublane's scheduler switches bricks (the TPU grid and the in-kernel
+flushes are sequential ⇒ no races); the table arrives as an aliased zeros
 input (``input_output_aliases``).
 
-The opaque-surface termination (interp channel 3, .cu:343) is treated as
-non-differentiable (straight-through): executed-step counts are constants of
-the backward pass, and the opacity channel receives zero gradient — the
+Termination conditions (opaque surface .cu:343, absorption darkness
+.cu:337-341, bounds exit) are treated as non-differentiable
+(straight-through): executed-step counts are constants of the backward pass,
+and the opacity/absorption channels receive zero gradient — the
 soft-termination relaxation lives in the XLA path.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,40 +56,44 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..types import TraceResult
 from .march_pallas import (
-    BR,
     BV,
     BX,
     BY,
     BZ,
     CH,
     DEAD_ID,
+    NCH,
     R,
     RL,
     RS,
-    build_corner_table,
+    absorption_fraction,
+    build_brick_table,
     march_pallas,
 )
+
+# grad-table channels: 8 corners × 4 field channels (opacity slot stays 0)
+GCH = 32
 
 
 def _bwd_kernel(
     # inputs
-    table_ref,  # (Xc, Yc, Zc//4, 128) f32 ANY/HBM — forward corner table
-    gin_ref,  # (NB*BR, 128) f32 ANY/HBM — zeros, aliased to gout_ref
-    px_ref, py_ref, pz_ref,  # end positions (R,) tiles
-    vx_ref, vy_ref, vz_ref,  # end directions
-    nexec_ref,  # (R,) i32 executed-step counts
+    table_ref,  # (NB, CH, BV) f32 ANY/HBM — forward brick table
+    gin_ref,  # (NB, GCH, BV) f32 ANY/HBM — zeros, aliased to gout_ref
+    px_ref, py_ref, pz_ref,  # (8, 128) f32 end positions
+    vx_ref, vy_ref, vz_ref,  # (8, 128) f32 end directions
+    rrem_ref,  # (8, 128) i32 executed-step counts (steps left to reverse)
     apx_ref, apy_ref, apz_ref,  # cotangent of end position
     avx_ref, avy_ref, avz_ref,  # cotangent of end direction
     # outputs
-    gout_ref,  # (NB*BR, 128) f32 ANY/HBM — brick-major corner-grad table
+    gout_ref,  # (NB, GCH, BV) f32 ANY/HBM — brick-major corner-grad table
     oax_ref, oay_ref, oaz_ref,  # d start position
     obx_ref, oby_ref, obz_ref,  # d start (working) direction
+    orx_ref, ory_ref, orz_ref,  # reconstructed start position (diagnostic)
+    ow_ref,  # windows used (saturation detector)
     # scratch
-    brick_ref,  # (BX, BY, BZ//4, 128) f32
-    cache_ref,  # (32, RS, RL) f32 corner cache
-    dacc_ref,  # (R, 32) f32 per-window corner-grad rows
-    gbrick_ref,  # (BR, 128) f32 brick-grad accumulator
-    tmp_ref,  # (BR, 128) f32 RMW staging
+    brick_ref,  # (RS, CH, BV) f32 per-sublane resident forward brick
+    gbrick_ref,  # (RS, GCH, BV) f32 per-sublane brick-grad accumulator
+    tmp_ref,  # (1, GCH, BV) f32 RMW staging
     dma_sem, g_sem,
     *,
     max_windows: int,
@@ -90,138 +101,131 @@ def _bwd_kernel(
     nb: Tuple[int, int, int],
     bend: Tuple[float, float, float],
     step: Tuple[float, float, float],
+    precision,
 ):
-    shape = (RS, RL)
     ex, ey, ez = (jnp.float32(b) for b in bend)
     sx, sy, sz = (jnp.float32(s) for s in step)
     nbx, nby, nbz = (jnp.int32(v) for v in nb)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BV, RL), 0)
 
-    gbrick_ref[:] = jnp.zeros((BR, RL), jnp.float32)
+    gbrick_ref[:] = jnp.zeros((RS, GCH, BV), jnp.float32)
+
+    def _flush(s, brick_id):
+        """Serialized RMW-accumulate of sublane s's grads into HBM."""
+        rd = pltpu.make_async_copy(
+            gout_ref.at[pl.ds(brick_id, 1)], tmp_ref, g_sem
+        )
+        rd.start()
+        rd.wait()
+        tmp_ref[0] = tmp_ref[0] + gbrick_ref[s]
+        wr = pltpu.make_async_copy(
+            tmp_ref, gout_ref.at[pl.ds(brick_id, 1)], g_sem
+        )
+        wr.start()
+        wr.wait()
+        gbrick_ref[s] = jnp.zeros((GCH, BV), jnp.float32)
 
     state0 = (
         px_ref[:], py_ref[:], pz_ref[:],
         vx_ref[:], vy_ref[:], vz_ref[:],
         apx_ref[:], apy_ref[:], apz_ref[:],
         avx_ref[:], avy_ref[:], avz_ref[:],
-        nexec_ref[:],
+        rrem_ref[:],
     )
 
-    def _flush(brick_id):
-        """RMW-accumulate gbrick into the brick-major HBM grad table."""
-        rd = pltpu.make_async_copy(
-            gout_ref.at[pl.ds(brick_id * BR, BR), :], tmp_ref, g_sem
-        )
-        rd.start()
-        rd.wait()
-        tmp_ref[:] = tmp_ref[:] + gbrick_ref[:]
-        wr = pltpu.make_async_copy(
-            tmp_ref, gout_ref.at[pl.ds(brick_id * BR, BR), :], g_sem
-        )
-        wr.start()
-        wr.wait()
-        gbrick_ref[:] = jnp.zeros((BR, RL), jnp.float32)
-
     def cond(carry):
-        w, prev_id, state = carry
+        w, prev_ids, state = carry
         return (w < max_windows) & jnp.any(state[12] > 0)
 
     def window_body(carry):
-        w, prev_id, state = carry
+        w, prev_ids, state = carry
         px, py, pz, vx, vy, vz, ax, ay, az, bx, by, bz, rrem = state
         live = rrem > 0
 
-        # reverse candidate x_k = x_{k+1} − step ⊙ v / |v|² anchors the window
+        # reverse candidate x_k = x_{k+1} − step ⊙ u / |u|² anchors the
+        # window: the brick/cell of the *pre-step* position, exactly where
+        # the forward evaluated g (.cu:342)
         ilen0 = 1.0 / (vx * vx + vy * vy + vz * vz)
         cx = px - vx * sx * ilen0
         cy = py - vy * sy * ilen0
         cz = pz - vz * sz * ilen0
-        bxi = jnp.floor(cx).astype(jnp.int32)
-        byi = jnp.floor(cy).astype(jnp.int32)
-        bzi = jnp.floor(cz).astype(jnp.int32)
-        cbx = jnp.clip(bxi // BX, 0, nbx - 1)
-        cby = jnp.clip(byi // BY, 0, nby - 1)
-        cbz = jnp.clip(bzi // BZ, 0, nbz - 1)
+        fpx = jnp.floor(cx)
+        fpy = jnp.floor(cy)
+        fpz = jnp.floor(cz)
+        cbx = jnp.clip(fpx.astype(jnp.int32) // BX, 0, nbx - 1)
+        cby = jnp.clip(fpy.astype(jnp.int32) // BY, 0, nby - 1)
+        cbz = jnp.clip(fpz.astype(jnp.int32) // BZ, 0, nbz - 1)
         ids = (cbx * nby + cby) * nbz + cbz
         ids = jnp.where(live, ids, DEAD_ID)
-        cur = jnp.min(ids)
+        curs = [jnp.min(ids[s : s + 1, :]) for s in range(RS)]  # scalars
 
-        @pl.when(cur != prev_id)
-        def _():
-            @pl.when(prev_id >= 0)
-            def _():
-                _flush(prev_id)
+        # flush each switching sublane's grad accumulator (serialized RMW),
+        # then start all changed forward-brick loads overlapped, then wait
+        for s in range(RS):
+            @pl.when((curs[s] != prev_ids[s]) & (prev_ids[s] >= 0))
+            def _(s=s):
+                _flush(s, prev_ids[s])
+        for s in range(RS):
+            @pl.when((curs[s] != prev_ids[s]) & (curs[s] != DEAD_ID))
+            def _(s=s):
+                pltpu.make_async_copy(
+                    table_ref.at[pl.ds(curs[s], 1)],
+                    brick_ref.at[pl.ds(s, 1)],
+                    dma_sem.at[s],
+                ).start()
+        for s in range(RS):
+            @pl.when((curs[s] != prev_ids[s]) & (curs[s] != DEAD_ID))
+            def _(s=s):
+                pltpu.make_async_copy(
+                    table_ref.at[pl.ds(curs[s], 1)],
+                    brick_ref.at[pl.ds(s, 1)],
+                    dma_sem.at[s],
+                ).wait()
+        new_ids = tuple(
+            jnp.where(curs[s] != DEAD_ID, curs[s], prev_ids[s]) for s in range(RS)
+        )
 
-            b2 = cur // nbz
-            ox = (b2 // nby) * BX
-            oy = (b2 % nby) * BY
-            ozr = (cur % nbz) * (BZ // 4)
-            cp = pltpu.make_async_copy(
-                table_ref.at[pl.ds(ox, BX), pl.ds(oy, BY), pl.ds(ozr, BZ // 4), :],
-                brick_ref,
-                dma_sem,
-            )
-            cp.start()
-            cp.wait()
+        cur_col = jnp.concatenate(
+            [jnp.full((1, RL), 1, jnp.int32) * curs[s] for s in range(RS)], axis=0
+        )
+        in_cur = live & (ids == cur_col)
 
-        brick_flat = brick_ref[:].reshape(BR, RL)
-        rhs = [brick_flat[:, 32 * q : 32 * (q + 1)] for q in range(4)]
-        in_cur = live & (ids == cur)
+        # local cell id inside each sublane's brick (valid for in_cur lanes)
+        b2 = cur_col // nbz
+        oxf = ((b2 // nby) * BX).astype(jnp.float32)
+        oyf = ((b2 % nby) * BY).astype(jnp.float32)
+        ozf = ((cur_col % nbz) * BZ).astype(jnp.float32)
+        lx = jnp.clip((fpx - oxf).astype(jnp.int32), 0, BX - 1)
+        ly = jnp.clip((fpy - oyf).astype(jnp.int32), 0, BY - 1)
+        lz = jnp.clip((fpz - ozf).astype(jnp.int32), 0, BZ - 1)
+        lid = (lx * BY + ly) * BZ + lz  # (8, 128) in [0, BV)
 
-        b2 = cur // nbz
-        oxi = (b2 // nby) * BX
-        oyi = (b2 % nby) * BY
-        ozi = (cur % nbz) * BZ
-        lx = jnp.clip(bxi - oxi, 0, BX - 1)
-        ly = jnp.clip(byi - oyi, 0, BY - 1)
-        lz = jnp.clip(bzi - ozi, 0, BZ - 1)
-        row = (lx * BY + ly) * (BZ // 4) + (lz >> 2)
-        quarter = lz & 3
-
-        # ---- refresh the 32-channel per-ray corner cache (one-hot gather,
-        # identical to the forward kernel) ----
-        row_t = row.T
-        q_t = quarter.T
-        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (RL, RL), 1)
-        onehots = []  # kept for the transpose-scatter below
-        acc = jnp.zeros((R, 32), jnp.float32)
-        for chunk in range(BR // RL):
-            rowmatch = [
-                row_t[:, s : s + 1] == lane_ids + chunk * RL for s in range(RS)
-            ]
-            per_q = []
-            for q in range(4):
-                onehot = jnp.concatenate(
-                    [
-                        (rowmatch[s] & (q_t[:, s : s + 1] == q)).astype(jnp.float32)
-                        for s in range(RS)
-                    ],
-                    axis=0,
-                )  # (R, RL)
-                per_q.append(onehot)
-                acc = acc + jax.lax.dot_general(
+        # one-hot gather of the 40-channel corner rows (≙ forward refresh);
+        # the one-hots are REBUILT at scatter time rather than kept live
+        # across the step loop — 8 × (BV, RL) f32 retained buffers blow the
+        # 16 MiB scoped-VMEM budget on v5e
+        parts = []
+        for s in range(RS):
+            onehot = (iota == lid[s : s + 1, :]).astype(jnp.float32)
+            parts.append(
+                jax.lax.dot_general(
+                    brick_ref[s],
                     onehot,
-                    rhs[q][chunk * RL : (chunk + 1) * RL, :],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=precision,
                 )
-            onehots.append(per_q)
-        for s in range(RS):
-            cache_ref[:, s, :] = acc[s * RL : (s + 1) * RL, :].T
-        cache = [cache_ref[oc] for oc in range(32)]
+            )  # (CH, RL)
+        cache = jnp.stack(parts, axis=1)  # (CH, RS, RL)
 
-        basex = jnp.floor(cx)
-        basey = jnp.floor(cy)
-        basez = jnp.floor(cz)
+        basex, basey, basez = fpx, fpy, fpz
+        evaluable_w = in_cur  # already masked by live
 
-        zero = jnp.zeros(shape, jnp.float32)
-        dC0 = [zero for _ in range(8)]  # corner grads, channel 0 (x-bend)
-        dC1 = [zero for _ in range(8)]
-        dC2 = [zero for _ in range(8)]
+        zero = jnp.zeros((RS, RL), jnp.float32)
+        dC = [zero] * (8 * 3)  # corner grads, [o*3+c] layout, c ∈ {x,y,z}
 
         def step_body(k, carry):
-            (px, py, pz, vx, vy, vz, ax, ay, az, bx, by, bz, rrem,
-             dC0, dC1, dC2) = carry
+            (px, py, pz, vx, vy, vz, ax, ay, az, bx, by, bz, rrem, dC) = carry
             ilen = 1.0 / (vx * vx + vy * vy + vz * vz)
             candx = px - vx * sx * ilen
             candy = py - vy * sy * ilen
@@ -232,13 +236,13 @@ def _bwd_kernel(
             crossed = (
                 (fx < 0) | (fx >= 1.0) | (fy < 0) | (fy >= 1.0) | (fz < 0) | (fz >= 1.0)
             )
-            ok = in_cur & (rrem > 0) & ~crossed
+            ok = evaluable_w & ~crossed & (rrem > 0)
 
             gx_ = 1.0 - fx
             gy_ = 1.0 - fy
             gz_ = 1.0 - fz
-            # corner weights + their frac-derivatives, product((0,1)^3) order
-            w = (
+            # corner weights + frac-derivatives, product((0,1)^3) order
+            wts = (
                 gx_ * gy_ * gz_, gx_ * gy_ * fz, gx_ * fy * gz_, gx_ * fy * fz,
                 fx * gy_ * gz_, fx * gy_ * fz, fx * fy * gz_, fx * fy * fz,
             )
@@ -253,16 +257,16 @@ def _bwd_kernel(
             g1 = zero
             g2 = zero
             for o in range(8):
-                g0 = g0 + w[o] * cache[o * CH + 0]
-                g1 = g1 + w[o] * cache[o * CH + 1]
-                g2 = g2 + w[o] * cache[o * CH + 2]
+                g0 = g0 + wts[o] * cache[o * NCH + 0]
+                g1 = g1 + wts[o] * cache[o * NCH + 1]
+                g2 = g2 + wts[o] * cache[o * NCH + 2]
 
-            # reconstruct v_k
+            # reconstruct v_k (pre-bend direction)
             nvx = vx - g0 * ex
             nvy = vy - g1 * ey
             nvz = vz - g2 * ez
 
-            # adjoints
+            # adjoint through x' = x + step ⊙ u·ilen and v' = u (u = current v)
             t = sx * vx * ax + sy * vy * ay + sz * vz * az
             il2 = ilen * ilen
             ubx = bx + sx * ilen * ax - 2.0 * vx * il2 * t
@@ -272,27 +276,25 @@ def _bwd_kernel(
             h1 = ey * uby
             h2 = ez * ubz
 
+            # position adjoint through g's trilinear weights + field grads
             Gx = zero
             Gy = zero
             Gz = zero
             okf = jnp.where(ok, 1.0, 0.0)
+            ndC = list(dC)
             for o in range(8):
                 m = (
-                    cache[o * CH + 0] * h0
-                    + cache[o * CH + 1] * h1
-                    + cache[o * CH + 2] * h2
+                    cache[o * NCH + 0] * h0
+                    + cache[o * NCH + 1] * h1
+                    + cache[o * NCH + 2] * h2
                 )
                 Gx = Gx + dwx[o] * m
                 Gy = Gy + dwy[o] * m
                 Gz = Gz + dwz[o] * m
-                wok = w[o] * okf
-                dC0[o] = dC0[o] + wok * h0
-                dC1[o] = dC1[o] + wok * h1
-                dC2[o] = dC2[o] + wok * h2
-
-            nax = ax + Gx
-            nay = ay + Gy
-            naz = az + Gz
+                wok = wts[o] * okf
+                ndC[o * 3 + 0] = dC[o * 3 + 0] + wok * h0
+                ndC[o * 3 + 1] = dC[o * 3 + 1] + wok * h1
+                ndC[o * 3 + 2] = dC[o * 3 + 2] + wok * h2
 
             px = jnp.where(ok, candx, px)
             py = jnp.where(ok, candy, py)
@@ -300,60 +302,50 @@ def _bwd_kernel(
             vx = jnp.where(ok, nvx, vx)
             vy = jnp.where(ok, nvy, vy)
             vz = jnp.where(ok, nvz, vz)
-            ax = jnp.where(ok, nax, ax)
-            ay = jnp.where(ok, nay, ay)
-            az = jnp.where(ok, naz, az)
+            ax = jnp.where(ok, ax + Gx, ax)
+            ay = jnp.where(ok, ay + Gy, ay)
+            az = jnp.where(ok, az + Gz, az)
             bx = jnp.where(ok, ubx, bx)
             by = jnp.where(ok, uby, by)
             bz = jnp.where(ok, ubz, bz)
-            rrem = jnp.where(ok, rrem - 1, rrem)
-            return (px, py, pz, vx, vy, vz, ax, ay, az, bx, by, bz, rrem,
-                    dC0, dC1, dC2)
+            rrem = rrem - ok.astype(jnp.int32)
+            return (px, py, pz, vx, vy, vz, ax, ay, az, bx, by, bz, rrem, ndC)
 
         out = jax.lax.fori_loop(
             0, k_steps, step_body,
-            (px, py, pz, vx, vy, vz, ax, ay, az, bx, by, bz, rrem,
-             list(dC0), list(dC1), list(dC2)),
+            (px, py, pz, vx, vy, vz, ax, ay, az, bx, by, bz, rrem, dC),
         )
         state = out[:13]
-        dC0, dC1, dC2 = out[13], out[14], out[15]
+        dC = out[13]
 
-        # ---- transpose-scatter: d_cache rows → brick-grad accumulator ----
+        # transpose-scatter: per-sublane (GCH, RL) grad rows → brick grads
+        # via d_brick_s += d_cache_s @ onehot_sᵀ  (the gather's transpose)
+        rows = []
         for o in range(8):
-            cache_ref[o * CH + 0] = dC0[o]
-            cache_ref[o * CH + 1] = dC1[o]
-            cache_ref[o * CH + 2] = dC2[o]
-            cache_ref[o * CH + 3] = zero  # opacity: straight-through
+            for c in range(3):
+                rows.append(dC[o * 3 + c])
+            rows.append(zero)  # opacity channel: straight-through
+        drows = jnp.stack(rows, axis=0)  # (GCH, RS, RL)
         for s in range(RS):
-            dacc_ref[pl.ds(s * RL, RL), :] = cache_ref[:, s, :].T  # (RL, 32)
-        dacc = dacc_ref[:]
-        for chunk in range(BR // RL):
-            contrib = jnp.concatenate(
-                [
-                    jax.lax.dot_general(
-                        onehots[chunk][q],  # (R, RL)
-                        dacc,  # (R, 32)
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                    for q in range(4)
-                ],
-                axis=1,
-            )  # (RL, 128): quarters side by side, matching the row layout
-            gbrick_ref[pl.ds(chunk * RL, RL), :] = (
-                gbrick_ref[pl.ds(chunk * RL, RL), :] + contrib
-            )
+            onehot = (iota == lid[s : s + 1, :]).astype(jnp.float32)
+            contrib = jax.lax.dot_general(
+                drows[:, s, :],
+                onehot,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )  # (GCH, BV)
+            gbrick_ref[s] = gbrick_ref[s] + contrib
 
-        return w + 1, cur, tuple(state)
+        return w + 1, new_ids, tuple(state)
 
-    w_fin, last_id, state = jax.lax.while_loop(
-        cond, window_body, (jnp.int32(0), jnp.int32(-1), state0)
+    w, last_ids, state = jax.lax.while_loop(
+        cond, window_body, (jnp.int32(0), (jnp.int32(-1),) * RS, state0)
     )
-
-    @pl.when(last_id >= 0)
-    def _():
-        _flush(last_id)
+    for s in range(RS):
+        @pl.when(last_ids[s] >= 0)
+        def _(s=s):
+            _flush(s, last_ids[s])
 
     (px, py, pz, vx, vy, vz, ax, ay, az, bx, by, bz, rrem) = state
     oax_ref[:] = ax
@@ -362,17 +354,24 @@ def _bwd_kernel(
     obx_ref[:] = bx
     oby_ref[:] = by
     obz_ref[:] = bz
+    orx_ref[:] = px
+    ory_ref[:] = py
+    orz_ref[:] = pz
+    # windows used (== max_windows ⇒ truncated adjoint replay; rays whose
+    # reverse budget was not exhausted carry partially propagated adjoints)
+    ow_ref[:] = jnp.full((RS, RL), 1, jnp.int32) * w
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k_steps", "max_windows", "interpret", "nb", "bend", "step", "n_tiles",
+        "k_steps", "max_windows", "interpret", "nb", "bend", "step",
+        "n_tiles", "precision",
     ),
 )
 def _bwd_call(
-    table, gzeros, px, py, pz, vx, vy, vz, nexec, apx, apy, apz, avx, avy, avz,
-    *, k_steps, max_windows, interpret, nb, bend, step, n_tiles,
+    table, gzeros, px, py, pz, vx, vy, vz, rrem, apx, apy, apz, avx, avy, avz,
+    *, k_steps, max_windows, interpret, nb, bend, step, n_tiles, precision,
 ):
     kernel = functools.partial(
         _bwd_kernel,
@@ -381,125 +380,88 @@ def _bwd_call(
         nb=nb,
         bend=bend,
         step=step,
+        precision=precision,
     )
     n = n_tiles * R
     rows = n // RL
     state_spec = pl.BlockSpec((RS, RL), lambda t: (t, 0))
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    out_shape = [
-        jax.ShapeDtypeStruct(gzeros.shape, jnp.float32),
-        *[jax.ShapeDtypeStruct((rows, RL), jnp.float32)] * 6,
-    ]
+    f32s = jax.ShapeDtypeStruct((rows, RL), jnp.float32)
+    i32s = jax.ShapeDtypeStruct((rows, RL), jnp.int32)
     call = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[any_spec, any_spec, *[state_spec] * 13],
-        out_specs=[any_spec, *[state_spec] * 6],
-        out_shape=out_shape,
+        out_specs=[any_spec, *[state_spec] * 10],
+        out_shape=[
+            jax.ShapeDtypeStruct(gzeros.shape, jnp.float32),
+            *[f32s] * 9,
+            i32s,
+        ],
         scratch_shapes=[
-            pltpu.VMEM((BX, BY, BZ // 4, RL), jnp.float32),
-            pltpu.VMEM((32, RS, RL), jnp.float32),
-            pltpu.VMEM((R, 32), jnp.float32),
-            pltpu.VMEM((BR, RL), jnp.float32),
-            pltpu.VMEM((BR, RL), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((RS, CH, BV), jnp.float32),
+            pltpu.VMEM((RS, GCH, BV), jnp.float32),
+            pltpu.VMEM((1, GCH, BV), jnp.float32),
+            pltpu.SemaphoreType.DMA((RS,)),
             pltpu.SemaphoreType.DMA,
         ],
         input_output_aliases={1: 0},
+        # the adjoint retains more live window state than the forward (corner
+        # caches + grad accumulators + one-hots); the default 16 MiB scoped
+        # budget is exceeded while v5e has 128 MiB physical VMEM
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )
     return call(
-        table, gzeros, px, py, pz, vx, vy, vz, nexec, apx, apy, apz, avx, avy, avz
+        table, gzeros, px, py, pz, vx, vy, vz, rrem, apx, apy, apz, avx, avy, avz
     )
 
 
-def fold_brickmajor_grads(gflat: jax.Array, packed_shape, nb) -> jax.Array:
+def fold_brickmajor_grads(gtable: jax.Array, packed_shape, nb) -> jax.Array:
     """Brick-major corner-grad table → gradient of the packed field.
 
-    Inverse of ``build_corner_table``: un-brick, un-pack the 4-cells-per-row
-    lanes, and sum each cell's 8 corner-duplicated slots back onto the voxels
-    they duplicate (pure XLA slice-adds; cheap one-time reduction).
-    """
+    Inverse of ``build_brick_table``'s addressing: un-brick the (NB, GCH, BV)
+    table to spatial cells and sum each cell's 8 corner-duplicated slots back
+    onto the voxels they duplicate.  Processed one x-row of bricks at a time
+    (mirrors ``_build_brick_table_jit``): a whole-volume (..., 32)-minor
+    intermediate tiles to 4× its logical bytes at 256³ and OOMs HBM."""
     X, Y, Z, C = packed_shape
-    cx, cy, cz = X - 1, Y - 1, Z - 1
     nbx, nby, nbz = nb
-    # (NB*BR, 128) → (nbx, nby, nbz, BX, BY, BZ//4, 128) → spatial rows
-    g = gflat.reshape(nbx, nby, nbz, BX, BY, BZ // 4, 128)
-    g = g.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
-        nbx * BX, nby * BY, nbz * (BZ // 4), 128
-    )
-    g = g.reshape(nbx * BX, nby * BY, nbz * BZ, 32)[:cx, :cy, :cz]
-    d_packed = jnp.zeros(packed_shape, jnp.float32)
-    o = 0
-    for dx in (0, 1):
-        for dy in (0, 1):
-            for dz in (0, 1):
-                d_packed = d_packed.at[dx : dx + cx, dy : dy + cy, dz : dz + cz].add(
-                    g[..., o * 4 : (o + 1) * 4]
-                )
-                o += 1
-    return d_packed
+    CY, CZ = nby * BY, nbz * BZ
+    acc0 = jnp.zeros((nbx * BX + 1, CY + 1, CZ + 1, NCH), jnp.float32)
+    g_rows = gtable.reshape(nbx, nby * nbz, GCH, BV)
 
-
-def _table_to_brickmajor(table: jax.Array, nb) -> jax.Array:
-    """Spatial corner table → brick-major (NB*BR, 128) layout (for tests)."""
-    nbx, nby, nbz = nb
-    t = table.reshape(nbx, BX, nby, BY, nbz, BZ // 4, 128)
-    return t.transpose(0, 2, 4, 1, 3, 5, 6).reshape(nbx * nby * nbz * BR, 128)
-
-
-@functools.lru_cache(maxsize=32)
-def _make_vjp_fn(budget, bend, step, k_steps, max_windows, interpret):
-    """custom_vjp'd (packed, pos, dirs) → (end_pos, end_dir) for fixed
-    static march parameters (cached so repeated calls don't re-trace)."""
-
-    def fwd_impl(packed, pos, dirs):
-        res = march_pallas(
-            packed, pos, dirs, budget,
-            bend_scale=np.asarray(bend, np.float32),
-            step_scale=np.asarray(step, np.float32),
-            k_steps=k_steps, interpret=interpret,
+    def slab(bx, acc):
+        g = g_rows[bx].reshape(nby, nbz, GCH, BX, BY, BZ)
+        g = g.transpose(3, 0, 4, 1, 5, 2).reshape(BX, CY, CZ, GCH)
+        contrib = jnp.zeros((BX + 1, CY + 1, CZ + 1, NCH), jnp.float32)
+        o = 0
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    contrib = contrib.at[
+                        dx : dx + BX, dy : dy + CY, dz : dz + CZ
+                    ].add(g[..., o * NCH : (o + 1) * NCH])
+                    o += 1
+        cur = jax.lax.dynamic_slice(
+            acc, (bx * BX, 0, 0, 0), (BX + 1, CY + 1, CZ + 1, NCH)
         )
-        return res.end_position, res.end_direction, res.end_iteration
+        return jax.lax.dynamic_update_slice(acc, cur + contrib, (bx * BX, 0, 0, 0))
 
-    @jax.custom_vjp
-    def f(packed, pos, dirs):
-        end_pos, end_dir, _ = fwd_impl(packed, pos, dirs)
-        return end_pos, end_dir
-
-    def f_fwd(packed, pos, dirs):
-        end_pos, end_dir, end_iter = fwd_impl(packed, pos, dirs)
-        # executed steps: rem starts at budget−1 and decrements per executed
-        # step; end_iteration = budget − end_remaining ⇒ nexec = end_iter − 1
-        # (see march_pallas budget accounting / .cu:333,350-352)
-        nexec = jnp.maximum(end_iter.astype(jnp.int32) - 1, 0)
-        return (end_pos, end_dir), (packed, end_pos, end_dir, nexec)
-
-    def f_bwd(residuals, cot):
-        packed, end_pos, end_dir, nexec = residuals
-        d_pos, d_dir = cot
-        d_packed, d_pos0, d_dir0 = _bwd_impl(
-            packed, end_pos, end_dir, nexec, d_pos, d_dir,
-            bend=bend, step=step, k_steps=k_steps,
-            max_windows=max_windows, interpret=interpret, budget=budget,
-        )
-        return d_packed, d_pos0, d_dir0
-
-    f.defvjp(f_fwd, f_bwd)
-    return f
+    acc = jax.lax.fori_loop(0, nbx, slab, acc0)
+    return acc[:X, :Y, :Z]
 
 
 def _bwd_impl(
-    packed, end_pos, end_dir, nexec, d_pos, d_dir,
+    table, nb, end_pos, end_dir, nexec, d_pos, d_dir,
     *, bend, step, k_steps, max_windows, interpret, budget,
+    precision=jax.lax.Precision.HIGHEST,
 ):
-    table = build_corner_table(packed)
-    nb = (
-        int(table.shape[0]) // BX,
-        int(table.shape[1]) // BY,
-        int(table.shape[2]) * 4 // BZ,
-    )
-    n_bricks = nb[0] * nb[1] * nb[2]
+    """Run the adjoint kernel; returns (d_table_folded→packed via caller,
+    d_pos0, d_dir0, recon_pos, windows_used).  ``nexec`` = executed steps."""
+    n_bricks = int(table.shape[0])
     n_in = end_pos.shape[0]
     n = -(-n_in // R) * R
     pad = n - n_in
@@ -526,10 +488,10 @@ def _bwd_impl(
     )
 
     if max_windows is None:
-        max_windows = 2 * -(-budget // max(1, k_steps)) + 8 * n_bricks + 64
+        max_windows = 2 * budget + 64
 
     rows = n // RL
-    gzeros = jnp.zeros((n_bricks * BR, RL), jnp.float32)
+    gzeros = jnp.zeros((n_bricks, GCH, BV), jnp.float32)
     outs = _bwd_call(
         table, gzeros,
         pos[:, 0].reshape(rows, RL), pos[:, 1].reshape(rows, RL),
@@ -542,14 +504,71 @@ def _bwd_impl(
         av[:, 0].reshape(rows, RL), av[:, 1].reshape(rows, RL),
         av[:, 2].reshape(rows, RL),
         k_steps=k_steps, max_windows=int(max_windows), interpret=interpret,
-        nb=nb, bend=bend, step=step, n_tiles=n // R,
+        nb=nb, bend=bend, step=step, n_tiles=n // R, precision=precision,
     )
-    gflat = outs[0]
-    tiles = [o.reshape(n)[inv][:n_in] for o in outs[1:]]
+    gtable = outs[0]
+    windows_used = outs[10][:: R // RL, 0]
+    tiles = [o.reshape(n)[inv][:n_in] for o in outs[1:10]]
     d_pos0 = jnp.stack(tiles[0:3], axis=-1)
     d_dir0 = jnp.stack(tiles[3:6], axis=-1)
-    d_packed = fold_brickmajor_grads(gflat, packed.shape, nb)
-    return d_packed, d_pos0, d_dir0
+    recon_pos = jnp.stack(tiles[6:9], axis=-1)
+    return gtable, d_pos0, d_dir0, recon_pos, windows_used
+
+
+@functools.lru_cache(maxsize=32)
+def _make_vjp_fn(budget, bend, step, min_bright, has_absorb, k_steps,
+                 max_windows, interpret):
+    """custom_vjp'd (packed, pos, dirs, absorb) → TraceResult fields for
+    fixed static march parameters (cached so repeated calls don't re-trace).
+
+    ``absorb`` is always a float32 array (dummy zeros when has_absorb is
+    False) so every primal input has a float cotangent; its gradient is zero
+    (absorption affects brightness and termination only — both
+    straight-through)."""
+
+    def fwd_impl(packed, pos, dirs, absorb):
+        res, raw = march_pallas(
+            packed, pos, dirs, budget,
+            bend_scale=np.asarray(bend, np.float32),
+            step_scale=np.asarray(step, np.float32),
+            absorb=absorb if has_absorb else None,
+            minimum_brightness=min_bright,
+            k_steps=k_steps, interpret=interpret, return_state=True,
+        )
+        return res, raw
+
+    @jax.custom_vjp
+    def f(packed, pos, dirs, absorb):
+        res, _ = fwd_impl(packed, pos, dirs, absorb)
+        return (res.end_position, res.end_direction, res.end_iteration,
+                res.remaining_light, res.windows_used)
+
+    def f_fwd(packed, pos, dirs, absorb):
+        res, raw = fwd_impl(packed, pos, dirs, absorb)
+        # executed steps from the RAW remaining counter (budget-1 − rem):
+        # correct even for rays still alive at the forward's max_windows cap,
+        # where end_iteration would claim the whole budget
+        nexec = jnp.maximum(jnp.int32(budget - 1) - raw["remaining"], 0)
+        out = (res.end_position, res.end_direction, res.end_iteration,
+               res.remaining_light, res.windows_used)
+        return out, (packed, absorb, res.end_position, res.end_direction, nexec)
+
+    def f_bwd(residuals, cot):
+        packed, absorb, end_pos, end_dir, nexec = residuals
+        d_pos, d_dir = cot[0], cot[1]  # int outputs carry no cotangent
+        table, nb = build_brick_table(
+            packed, absorb=absorb if has_absorb else None
+        )
+        gtable, d_pos0, d_dir0, _, _ = _bwd_impl(
+            table, nb, end_pos, end_dir, nexec, d_pos, d_dir,
+            bend=bend, step=step, k_steps=k_steps,
+            max_windows=max_windows, interpret=interpret, budget=budget,
+        )
+        d_packed = fold_brickmajor_grads(gtable, packed.shape, nb)
+        return d_packed, d_pos0, d_dir0, jnp.zeros_like(absorb)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
 
 
 def march_pallas_diff(
@@ -560,16 +579,20 @@ def march_pallas_diff(
     *,
     bend_scale,
     step_scale,
-    k_steps: int = 8,
-    max_windows=None,
+    translucency: Optional[jax.Array] = None,
+    minimum_brightness: int = 0,
+    k_steps: int = 16,
+    max_windows: Optional[int] = None,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
-    """Differentiable Pallas march: returns (end_position, end_direction)
-    with gradients flowing to ``packed``, ``start_position`` and
+) -> TraceResult:
+    """Differentiable Pallas march: a TraceResult whose ``end_position`` and
+    ``end_direction`` carry gradients to ``packed``, ``start_position`` and
     ``start_direction`` via the reverse-replay adjoint kernel.
 
     Forward semantics = ``march_pallas`` (float C++ oracle,
-    /root/reference/src/cuda_volume_raytracer.cu:335-349, no translucency).
+    /root/reference/src/cuda_volume_raytracer.cu:335-349) including
+    absorption; ``translucency``/``minimum_brightness`` influence only the
+    non-differentiable outputs and termination (straight-through).
     """
     bend = tuple(
         float(v) for v in np.broadcast_to(np.asarray(bend_scale, np.float32), (3,))
@@ -577,7 +600,25 @@ def march_pallas_diff(
     step = tuple(
         float(v) for v in np.broadcast_to(np.asarray(step_scale, np.float32), (3,))
     )
-    f = _make_vjp_fn(int(budget), bend, step, int(k_steps),
-                     max_windows if max_windows is None else int(max_windows),
-                     bool(interpret))
-    return f(packed, start_position, start_direction)
+    has_absorb = translucency is not None
+    absorb = (
+        absorption_fraction(translucency)
+        if has_absorb
+        else jnp.zeros((1, 1, 1), jnp.float32)
+    )
+    f = _make_vjp_fn(
+        int(budget), bend, step, int(minimum_brightness), has_absorb,
+        int(k_steps), max_windows if max_windows is None else int(max_windows),
+        bool(interpret),
+    )
+    end_pos, end_dir, end_iter, light, windows = f(
+        packed, start_position, start_direction, absorb
+    )
+    return TraceResult(
+        end_position=end_pos,
+        end_direction=end_dir,
+        end_iteration=end_iter,
+        remaining_light=light,
+        path=None,
+        windows_used=windows,
+    )

@@ -70,8 +70,8 @@ def brick_grid(packed_shape) -> Tuple[int, int, int]:
     return (-(-cx // BX), -(-cy // BY), -(-cz // BZ))
 
 
-@functools.partial(jax.jit, static_argnames=("has_translucency",))
-def _build_brick_table_jit(packed, translucency, *, has_translucency):
+@functools.partial(jax.jit, static_argnames=("has_absorb",))
+def _build_brick_table_jit(packed, absorb, *, has_absorb):
     """Slab-chunked table build: one x-row of bricks at a time via lax.map,
     keeping every (tile-padded) intermediate to ~hundreds of MB even at 256³
     (a single whole-volume 7-D transpose pads 3.2× and OOMs)."""
@@ -83,11 +83,7 @@ def _build_brick_table_jit(packed, translucency, *, has_translucency):
         packed,
         ((0, nbx * BX + 1 - X), (0, CY + 1 - Y), (0, CZ + 1 - Z), (0, 0)),
     )
-    if has_translucency:
-        absorb = (
-            jnp.float32(BRIGHT_MAX_F) - translucency.astype(jnp.float32)
-        ) / jnp.float32(BRIGHT_MAX_F)
-    else:
+    if not has_absorb:
         absorb = jnp.zeros((1, 1, 1), jnp.float32)
     absorb_p = jnp.pad(
         absorb,
@@ -118,16 +114,28 @@ def _build_brick_table_jit(packed, translucency, *, has_translucency):
     return out.reshape(nbx * nby * nbz, CH, BV)
 
 
+def absorption_fraction(translucency: jax.Array) -> jax.Array:
+    """uint32 translucency grid → float32 per-step absorption fraction
+    ``(0xFFFFFFFF - tr) / 0xFFFFFFFF`` (≙ .cu:337-341, in the float
+    brightness convention where 1.0 = 0xFFFFFFFF)."""
+    return (
+        jnp.float32(BRIGHT_MAX_F) - translucency.astype(jnp.float32)
+    ) / jnp.float32(BRIGHT_MAX_F)
+
+
 def build_brick_table(
-    packed: jax.Array, translucency: Optional[jax.Array] = None
+    packed: jax.Array,
+    translucency: Optional[jax.Array] = None,
+    *,
+    absorb: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Tuple[int, int, int]]:
     """Brick-major corner-duplicated cell table.
 
     packed: (X, Y, Z, 4) float32 preprocessed diff field (ops/fields.py).
     translucency: optional (X, Y, Z) uint32 cropped translucency grid
-      (``cropped_translucency``) — encoded as the per-step absorption
-      fraction ``(0xFFFFFFFF - tr) / 0xFFFFFFFF`` (≙ .cu:337-341, in the
-      float brightness convention where 1.0 = 0xFFFFFFFF).
+      (``cropped_translucency``) — encoded via ``absorption_fraction``.
+    absorb: alternatively, the float32 absorption-fraction grid directly
+      (used by the differentiable wrapper, which needs float inputs).
 
     Returns ``(table, nb)``: table (NB, 40, 1024) f32 with
     ``table[b, o*4+c, (lx*BY+ly)*BZ+lz]`` = channel ``c`` of corner ``o``
@@ -138,12 +146,15 @@ def build_brick_table(
     """
     assert packed.shape[-1] == NCH
     nb = brick_grid(packed.shape)
-    if translucency is None:
-        translucency = jnp.zeros((1, 1, 1), jnp.uint32)  # unused placeholder
+    if translucency is not None:
+        assert absorb is None
+        absorb = absorption_fraction(translucency)
+    if absorb is None:
+        absorb = jnp.zeros((1, 1, 1), jnp.float32)  # unused placeholder
         has = False
     else:
         has = True
-    return _build_brick_table_jit(packed, translucency, has_translucency=has), nb
+    return _build_brick_table_jit(packed, absorb, has_absorb=has), nb
 
 
 def _march_kernel(
@@ -417,6 +428,7 @@ def march_pallas(
     bend_scale,
     step_scale,
     translucency: Optional[jax.Array] = None,
+    absorb: Optional[jax.Array] = None,
     minimum_brightness: int = 0,
     k_steps: int = 16,
     max_windows: Optional[int] = None,
@@ -425,6 +437,7 @@ def march_pallas(
     precision=jax.lax.Precision.HIGHEST,
     table: Optional[jax.Array] = None,
     nb: Optional[Tuple[int, int, int]] = None,
+    return_state: bool = False,
 ) -> TraceResult:
     """Forward float march through ``packed`` using the brick-walking kernel.
 
@@ -432,7 +445,16 @@ def march_pallas(
     True, nearest=False)`` including absorption/minimum-brightness
     (brightness carried as float32 with 1.0 = 0xFFFFFFFF).  Positions in the
     packed-grid frame.  Pass a prebuilt ``(table, nb)`` (from
-    ``build_brick_table``) to skip rebuilding it per call.
+    ``build_brick_table``) to skip rebuilding it per call.  ``absorb`` is the
+    float32 absorption-fraction alternative to ``translucency`` (see
+    ``build_brick_table``).
+
+    With ``return_state=True`` also returns a dict with the *raw* kernel
+    state in input ray order — ``remaining`` (i32, = budget-1 minus executed
+    steps, *not* zeroed for still-alive rays) and ``alive`` (i32) — the
+    executed-step residual the custom-VJP backward replay needs (an
+    alive-at-max_windows ray keeps remaining > 0, so ``end_iteration`` alone
+    would overstate its executed steps).
     """
     assert packed.ndim == 4 and packed.shape[-1] == NCH, "3D packed field required"
     n_in, dim = start_position.shape
@@ -442,8 +464,9 @@ def march_pallas(
     step = tuple(float(s) for s in np.broadcast_to(np.asarray(step_scale, np.float32), (3,)))
 
     if table is None:
-        table, nb = build_brick_table(packed, translucency)
+        table, nb = build_brick_table(packed, translucency, absorb=absorb)
     assert nb is not None
+    has_absorb = translucency is not None or absorb is not None
 
     # pad ray count to a tile multiple
     n = -(-n_in // R) * R
@@ -488,7 +511,7 @@ def march_pallas(
         budget=budget, k_steps=k_steps, max_windows=max_windows,
         interpret=interpret, bounds=bounds, nb=nb, bend=bend, step=step,
         min_bright=float(minimum_brightness) / BRIGHT_MAX_F,
-        has_absorb=translucency is not None,
+        has_absorb=has_absorb,
         n_tiles=n // R, precision=precision,
     )
     windows_used = outs[9][:: R // RL, 0]  # one entry per tile
@@ -510,7 +533,7 @@ def march_pallas(
         jnp.uint32(0xFFFFFFFF),
         (br * BRIGHT_MAX_F).astype(jnp.uint32),
     )
-    return TraceResult(
+    result = TraceResult(
         end_position=end_pos,
         end_direction=end_dir,
         end_iteration=end_iteration,
@@ -518,3 +541,6 @@ def march_pallas(
         path=None,
         windows_used=windows_used,
     )
+    if return_state:
+        return result, {"remaining": rem, "alive": alive}
+    return result

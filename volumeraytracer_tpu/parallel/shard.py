@@ -124,10 +124,18 @@ def trace_rays_sharded(
 # ---------------------------------------------------------------------------
 
 
-def endpoint_render(ior, positions, directions, budget: int, invscale: float, chunk_steps: int):
+def endpoint_render(
+    ior, positions, directions, budget: int, invscale: float, chunk_steps: int,
+    kernel: str = "xla",
+):
     """Differentiable forward: preprocess the field, |v|=n-init the rays,
     march, return per-ray endpoints (the reference's output contract —
-    endpoints + remaining light, SURVEY.md §0)."""
+    endpoints + remaining light, SURVEY.md §0).
+
+    kernel="pallas" routes the march through the brick-walking TPU kernel
+    pair (kernels/march_pallas.py forward, kernels/march_bwd.py reverse-replay
+    adjoint) — the production fwd+bwd path benched by bench.py; "xla" is the
+    scan-remat fallback (and the 2D path)."""
     packed = build_packed_field(ior)
     dim = positions.shape[-1]
     inv = jnp.full((dim,), invscale, jnp.float32)
@@ -135,17 +143,31 @@ def endpoint_render(ior, positions, directions, budget: int, invscale: float, ch
     n0 = interp_linear(ior, pos)
     dirs = directions * n0[..., None]
     pos = pos - 0.5
-    res = march_ops.march_float(
-        packed,
-        None,
-        pos,
-        dirs,
-        budget,
-        bend_scale=inv / float(FIX_ONE),
-        step_scale=inv * (STEP_CONST / float(FIX_ONE) / float(FIX_ONE)),
-        chunk_steps=chunk_steps,
-        differentiable=True,
-    )
+    if kernel == "pallas":
+        from ..kernels.march_bwd import march_pallas_diff
+
+        res = march_pallas_diff(
+            packed,
+            pos,
+            dirs,
+            budget,
+            bend_scale=float(invscale) / float(FIX_ONE),
+            step_scale=float(invscale) * (STEP_CONST / float(FIX_ONE) / float(FIX_ONE)),
+            k_steps=32,
+            interpret=jax.default_backend() not in ("tpu", "axon"),
+        )
+    else:
+        res = march_ops.march_float(
+            packed,
+            None,
+            pos,
+            dirs,
+            budget,
+            bend_scale=inv / float(FIX_ONE),
+            step_scale=inv * (STEP_CONST / float(FIX_ONE) / float(FIX_ONE)),
+            chunk_steps=chunk_steps,
+            differentiable=True,
+        )
     return res.end_position + 1.0, res.end_direction
 
 
