@@ -66,3 +66,47 @@ def test_replay_matches_direct():
     np.testing.assert_array_equal(
         np.asarray(direct.end_direction), np.asarray(replay.end_direction)
     )
+
+
+def test_write_instance_capture_and_replay(tmp_path):
+    """Options.write_instance dumps a replayable instance from trace_rays
+    (≙ python_binding.cpp:21-34 always / java_binding.cpp:119-124 on-flag);
+    replaying the dump through the CLI path reproduces the trace."""
+    from volumeraytracer_tpu import Options, RaytraceScene
+    from volumeraytracer_tpu import cli
+
+    inst = tiny_instance()
+    dump = tmp_path / "debug_raytrace_instance.npz"
+    scene = RaytraceScene(
+        inst.scene.ior, inst.scene.translucency,
+        Options(write_instance=str(dump)),
+    )
+    direct = scene.trace_rays(
+        inst.rays.start_position, inst.rays.start_direction,
+        invscale=inst.rays.invscale, iterations=inst.rays.iterations,
+    )
+    assert dump.exists()
+    back = ser.load_instance(dump)
+    assert back == inst
+    replay = trace_rays_instance(back.scene, back.rays)
+    np.testing.assert_array_equal(
+        np.asarray(direct.end_position), np.asarray(replay.end_position)
+    )
+    # the CLI replays the same dump end-to-end (≙ raytrace_test.cpp:33-72)
+    assert cli.main([str(dump), "--loglevel", "-1"]) == 0
+
+
+def test_write_instance_default_path(tmp_path, monkeypatch):
+    """write_instance=True uses the reference's default CWD filename."""
+    from volumeraytracer_tpu import Options, RaytraceScene
+
+    monkeypatch.chdir(tmp_path)
+    inst = tiny_instance()
+    scene = RaytraceScene(
+        inst.scene.ior, inst.scene.translucency, Options(write_instance=True)
+    )
+    scene.trace_rays(
+        inst.rays.start_position, inst.rays.start_direction,
+        invscale=inst.rays.invscale, iterations=inst.rays.iterations,
+    )
+    assert (tmp_path / "debug_raytrace_instance.npz").exists()

@@ -27,6 +27,7 @@ from ..ops import march as march_ops
 from ..ops.fields import build_packed_field, cropped_translucency
 from ..ops.interp import interp_fixed, interp_linear
 from ..types import (
+    BRIGHTNESS_MAX,
     DIR_PRESCALE_FLOAT,
     FIX_HALF,
     FIX_ONE,
@@ -34,8 +35,10 @@ from ..types import (
     Options,
     RayInstance,
     RaySceneInstance,
+    RaytraceInstance,
     TraceResult,
 )
+from ..utils.logging import get_logger
 
 
 class RaytraceScene:
@@ -62,15 +65,26 @@ class RaytraceScene:
             # ≙ "refraction-index underflow" (image_util.cpp:607-610)
             raise ValueError("refraction-index underflow: ior must be > 0")
         self.options = options or Options()
+        self._log = get_logger(self.options.loglevel)
         self.bounds = tuple(int(s) for s in ior.shape)
         self.dim = ior.ndim
         self.ior = ior
+        self._translucency_raw = translucency
         # packed diff field on the cropped grid (bounds - 2 per axis)
         self.packed = build_packed_field(ior, translucency)
         self.translucency_cropped = (
             cropped_translucency(translucency) if translucency is not None else None
         )
         self.diff_bounds = tuple(int(s) for s in self.packed.shape[:-1])
+        if self.options.loglevel < -1:
+            # field statistics (≙ image_util.cpp:562-573 at loglevel < -1)
+            self._log.info(
+                "scene %s: ior [%g, %g], diff field [%g, %g] on %s",
+                self.bounds, float(ior.min()), float(ior.max()),
+                float(self.packed[..., : self.dim].min()),
+                float(self.packed[..., : self.dim].max()),
+                self.diff_bounds,
+            )
 
     @classmethod
     def from_instance(cls, inst: RaySceneInstance, options: Optional[Options] = None):
@@ -122,6 +136,26 @@ class RaytraceScene:
             invscale = np.ones(self.dim, np.float32)
         invscale = np.broadcast_to(np.asarray(invscale, np.float32), (self.dim,))
         chunk_steps = chunk_steps or self.options.chunk_steps
+
+        if self.options.write_instance:
+            # capture-and-replay debug dump (≙ the pybind binding's
+            # unconditional debug_raytrace_instance, python_binding.cpp:21-34,
+            # and the JNI on-flag dump, java_binding.cpp:119-124); replay with
+            # `vrt-replay <path>` (cli.py ≙ raytrace_test.cpp)
+            self._dump_instance(
+                start_position, start_direction, invscale, iterations,
+                minimum_brightness, trace_path, normalize_length,
+            )
+        if self.options.loglevel < 0:
+            self._log.info(
+                "trace_rays: %d rays, mode=%s kernel=%s budget=%d",
+                np.asarray(start_position).reshape(-1, self.dim).shape[0],
+                mode, kernel, iterations,
+            )
+        if self.options.loglevel < -2:
+            # per-ray input dump (≙ image_util.cpp:747-751 at loglevel < -2)
+            self._log.debug("start_position=%s", np.asarray(start_position))
+            self._log.debug("start_direction=%s", np.asarray(start_direction))
 
         if mode == "fixed":
             start_position = np.asarray(start_position, np.uint32).reshape(-1, self.dim)
@@ -298,6 +332,45 @@ class RaytraceScene:
             remaining_light=res.remaining_light,
             path=None,
         )
+
+    def _dump_instance(self, start_position, start_direction, invscale,
+                       iterations, minimum_brightness, trace_path,
+                       normalize_length) -> str:
+        """Write a replayable combined instance (scene + this ray batch).
+
+        ``Options.write_instance`` may be ``True`` (default path
+        ``debug_raytrace_instance.npz`` in the CWD, the reference's filename,
+        python_binding.cpp:29) or a string path.  Returns the path written.
+        """
+        from ..utils import serialization
+
+        tr = self._translucency_raw
+        tr = (
+            np.full(self.bounds, BRIGHTNESS_MAX, np.uint32)
+            if tr is None
+            else np.asarray(tr, np.uint32)
+        )
+        inst = RaytraceInstance(
+            RaySceneInstance(self.bounds, np.asarray(self.ior), tr),
+            RayInstance(
+                np.asarray(start_position).reshape(-1, self.dim),
+                np.asarray(start_direction, np.float32).reshape(-1, self.dim),
+                np.asarray(invscale, np.float32),
+                minimum_brightness=minimum_brightness,
+                iterations=iterations,
+                trace_path=trace_path,
+                normalize_length=normalize_length,
+            ),
+        )
+        path = self.options.write_instance
+        if not isinstance(path, str):
+            path = "debug_raytrace_instance.npz"
+        if path.endswith(".vrt"):
+            serialization.save_instance_binary(path, inst)
+        else:
+            serialization.save_instance(path, inst)
+        self._log.info("wrote replay instance to %s", path)
+        return path
 
     # -- probes ------------------------------------------------------------
 

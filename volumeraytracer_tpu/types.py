@@ -56,8 +56,11 @@ class Options:
     #: below this many rays, skip device dispatch and run the pure-XLA/CPU
     #: path (≙ ``_minimum_gpu`` = 0x80, types.h:87)
     minimum_device_rays: int = 0x80
-    #: dump every traced instance to a replay file (≙ ``_write_instance``)
-    write_instance: bool = False
+    #: dump every traced instance to a replay file (≙ ``_write_instance``,
+    #: python_binding.cpp:21-34): ``True`` writes the reference's default
+    #: ``debug_raytrace_instance.npz`` in the CWD, a string gives the path
+    #: (.npz, or .vrt for the binary codec)
+    write_instance: Any = False
     #: cap on host-side parallelism for native helpers (≙ ``_max_cpu``)
     max_cpu: int = 256
     #: steps executed per inner chunk between termination checks; mirrors the
