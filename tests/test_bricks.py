@@ -159,3 +159,83 @@ def test_brick_train_descends_and_slabs_stay_consistent():
             s2[d, -ov:], s2[d + 1, :ov],
             err_msg=f"slabs {d}/{d+1} drifted apart at the brick face",
         )
+
+
+@pytest.mark.parametrize("n_r,n_b", [(4, 2), (2, 4)])
+def test_bricked2d_forward_matches_single(n_r, n_b):
+    """2-D (rays × bricks) mesh: ray shards never talk, bricks combine with
+    psum — endpoints/iterations must match the single-device march exactly
+    (the compute-scaling layout of BASELINE config 5)."""
+    assert jax.device_count() >= n_r * n_b
+    ior = _smooth_ior()
+    packed = build_packed_field(ior)
+    pos, dirs = _rays(42)  # deliberately not divisible by the rays axis
+
+    inv = 2.0
+    bend = inv / float(FIX_ONE)
+    step = inv * (STEP_CONST / float(FIX_ONE) / float(FIX_ONE))
+    pos_p = pos - 1.0
+    budget = 600
+
+    ref = march_ops.march_float(
+        packed, None, pos_p, dirs, budget,
+        bend_scale=bend, step_scale=step, chunk_steps=64,
+    )
+    mesh = bricks.make_mesh2d(n_r, n_b)
+    res = bricks.trace_rays_bricked2d(
+        mesh, packed, pos_p, dirs, budget,
+        bend_scale=bend, step_scale=step, k_steps=16,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.end_position), np.asarray(ref.end_position),
+        rtol=1e-5, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.end_direction), np.asarray(ref.end_direction),
+        rtol=1e-5, atol=1e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.end_iteration), np.asarray(ref.end_iteration)
+    )
+
+
+def test_brick2d_gradients_match_replicated():
+    """2-D mesh training step: slab grads (psum over rays, halo exchange over
+    bricks) must equal the replicated-field autodiff gradient."""
+    n_r, n_b = 2, 2
+    ior = _smooth_ior((34, 10, 10))
+    x_packed = int(ior.shape[0]) - 2
+    pos, dirs = _rays(24)
+    budget, k_steps, invscale = 64, 8, 2.0
+
+    target, _ = endpoint_render(ior * 1.005, pos, dirs, budget, invscale, k_steps)
+    target = jnp.asarray(target)
+
+    def full_loss(f):
+        end_pos, _ = endpoint_render(f, pos, dirs, budget, invscale, k_steps)
+        return jnp.mean(jnp.sum((end_pos - target) ** 2, axis=-1))
+
+    g_full = np.asarray(jax.grad(full_loss)(ior))
+
+    mesh = bricks.make_mesh2d(n_r, n_b)
+    slabs, xs = bricks.build_ior_slabs(ior, n_b)
+    slabs = jax.device_put(
+        slabs, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("bricks"))
+    )
+    lr = 1.0
+    step = bricks.make_brick_train_step2d(
+        mesh, x_packed, n_rays_total=pos.shape[0],
+        budget=budget, invscale=invscale, k_steps=k_steps, lr=lr,
+    )
+    new_slabs, loss = step(slabs, pos, dirs, target)
+    g_slabs = (np.asarray(slabs) - np.asarray(new_slabs)) / lr
+
+    for d in range(n_b):
+        for l in range(g_slabs.shape[1]):
+            gidx = l + d * xs - 1
+            if 0 <= gidx < ior.shape[0]:
+                np.testing.assert_allclose(
+                    g_slabs[d, l], g_full[gidx], rtol=2e-3, atol=1e-6,
+                    err_msg=f"slab {d} col {l} (global {gidx})",
+                )
+    np.testing.assert_allclose(float(loss), float(full_loss(ior)), rtol=1e-5)

@@ -20,8 +20,19 @@ from .types import (
 from .models.scene import RaytraceScene, trace_rays_instance
 from .models.optical_volume import OpticalVolume
 from .models.harmonic import solve_harmonic, solveHarmonic
-from .models.camera import PinholeCamera, render_transmittance
-from .models.optimize import fit_field, save_ray_state, load_ray_state
+from .models.camera import (
+    PinholeCamera,
+    render_image,
+    render_rays_image,
+    render_transmittance,
+)
+from .models.optimize import (
+    fit_field,
+    fit_field_image,
+    image_loss,
+    load_ray_state,
+    save_ray_state,
+)
 from .utils.serialization import (
     save_instance,
     load_instance,
@@ -45,11 +56,15 @@ __all__ = [
     "RaytraceScene",
     "TraceResult",
     "fit_field",
+    "fit_field_image",
+    "image_loss",
     "load_instance",
     "load_instance_binary",
     "load_ray_instance",
     "load_ray_state",
     "load_scene_instance",
+    "render_image",
+    "render_rays_image",
     "render_transmittance",
     "save_instance",
     "save_instance_binary",

@@ -126,6 +126,166 @@ def render_transmittance(
     }
 
 
+def render_image(
+    packed: jax.Array,
+    ior: jax.Array,
+    camera: "PinholeCamera",
+    *,
+    budget: int,
+    invscale=2.0,
+    sigma: Optional[jax.Array] = None,
+    emission: Optional[jax.Array] = None,
+    background=0.0,
+    chunk_steps: int = 64,
+) -> dict:
+    """Differentiable camera → (H, W[, C]) image with **transmittance and
+    emission accumulated to the image plane** (the BASELINE north-star
+    rendering contract; the reference never accumulates — SURVEY.md §0).
+
+    Per march segment (midpoint rule, piecewise-constant media):
+
+        τ   += σ(mid)·Δs                       (optical depth)
+        I   += T_prev · w · e(mid)             (emitted radiance)
+        with w = 1 − exp(−σ·Δs)  when σ is given (emission–absorption),
+             w = Δs              for a purely emissive medium,
+        I   += T_end · background              (at exit)
+
+    emission: (X, Y, Z) or (X, Y, Z, C) float field on the packed (cropped)
+    grid; sigma: (X, Y, Z) absorption field on the same grid.  Gradients flow
+    to ``ior`` (ray bending), ``sigma`` and ``emission``.
+
+    Returns dict(image (H, W[, C]), transmittance (H, W), end_position,
+    end_direction) — pixel order row-major (v, u) matching ``camera.rays``.
+    """
+    positions, directions = camera.rays()
+    out = render_rays_image(
+        packed, ior, positions, directions, budget=budget, invscale=invscale,
+        sigma=sigma, emission=emission, background=background,
+        chunk_steps=chunk_steps,
+    )
+    h, w = camera.height, camera.width
+    img = out["image"]
+    out["image"] = img.reshape((h, w) + img.shape[1:]) if img is not None else None
+    if out["transmittance"] is not None:
+        out["transmittance"] = out["transmittance"].reshape(h, w)
+    return out
+
+
+def render_rays_image(
+    packed, ior, positions, directions, *, budget, invscale=2.0,
+    sigma=None, emission=None, background=0.0, chunk_steps=64,
+) -> dict:
+    """Per-ray form of :func:`render_image` (pixels as a flat ray batch —
+    shardable over a mesh rays axis with ``shard_map``)."""
+    dim = positions.shape[-1]
+    inv = jnp.broadcast_to(jnp.asarray(invscale, jnp.float32), (dim,))
+    bend_scale = inv / float(FIX_ONE)
+    step_scale = inv * (STEP_CONST / float(FIX_ONE) / float(FIX_ONE))
+
+    pos = positions - 0.5
+    n0 = interp_linear(ior, pos)
+    dirs = directions * n0[..., None]
+    pos = pos - 0.5
+
+    res, trans, radiance = _march_accumulate(
+        packed, sigma, emission, pos, dirs, budget, bend_scale, step_scale,
+        chunk_steps,
+    )
+    image = None
+    if radiance is not None:
+        image = radiance
+        if background is not None:
+            bg = jnp.asarray(background, jnp.float32)
+            t = trans if trans is not None else jnp.ones(pos.shape[:1], jnp.float32)
+            image = image + t[..., None] * jnp.atleast_1d(bg)
+        if image.shape[-1] == 1:
+            image = image[..., 0]
+    elif trans is not None:
+        image = trans  # pure-absorption image
+    return {
+        "image": image,
+        "transmittance": trans,
+        "end_position": res.end_position + 1.0,
+        "end_direction": res.end_direction,
+        "end_iteration": res.end_iteration,
+    }
+
+
+def _march_accumulate(packed, sigma, emission, pos, dirs, budget, bend_scale,
+                      step_scale, chunk_steps):
+    """March with optical-depth and emitted-radiance accumulators in the
+    carry (remat'd chunks, same scheduler shape as ops.march.march_float)."""
+    import functools
+
+    n = pos.shape[0]
+    if emission is not None and emission.ndim == packed.ndim - 1:
+        emission = emission[..., None]
+    n_ch = 0 if emission is None else int(emission.shape[-1])
+
+    state = march_ops.MarchState(
+        pos=pos.astype(jnp.float32),
+        direction=dirs.astype(jnp.float32),
+        remaining=jnp.full((n,), budget - 1, jnp.uint32),
+        brightness=jnp.full((n,), 0xFFFFFFFF, jnp.uint32),
+        alive=jnp.ones((n,), bool),
+    )
+    step_fn = functools.partial(
+        march_ops._float_step,
+        packed=packed,
+        translucency=None,
+        bounds=np.asarray(packed.shape[:-1], np.int64),
+        bend_scale=bend_scale,
+        step_scale=step_scale,
+        minimum_brightness=jnp.uint32(0),
+        opaque_when_positive=True,
+        nearest=False,
+    )
+    chunk = max(1, min(chunk_steps, budget))
+    num_chunks = -(-budget // chunk)
+
+    def one(carry, _):
+        state, tau, rad = carry
+        prev_pos = state.pos
+        prev_alive = state.alive
+        state = step_fn(state)
+        stepped = state.alive | prev_alive
+        # safe norm: sqrt has an infinite derivative at 0, and dead rays have
+        # exactly-zero segments — mask both the input and the output so the
+        # NaN cotangent path is cut
+        d = state.pos - prev_pos
+        ds2 = jnp.sum(d * d, axis=-1)
+        nz = stepped & (ds2 > 0)
+        ds = jnp.where(nz, jnp.sqrt(jnp.where(nz, ds2, 1.0)), 0.0)
+        mid = 0.5 * (state.pos + prev_pos)
+        if sigma is not None:
+            s = interp_linear(sigma, mid)
+            dtau = jnp.where(stepped, s * ds, 0.0)
+        else:
+            dtau = jnp.zeros_like(ds)
+        if emission is not None:
+            e = interp_linear(emission, mid)  # (N, C)
+            t_prev = jnp.exp(-tau)
+            # segment weight: emission–absorption if sigma given, else Δs
+            w = -jnp.expm1(-dtau) if sigma is not None else ds
+            w = jnp.where(stepped, w, 0.0)
+            rad = rad + (t_prev * w)[..., None] * e
+        tau = tau + dtau
+        return (state, tau, rad), None
+
+    @jax.checkpoint
+    def chunk_fn(carry, _):
+        return jax.lax.scan(one, carry, None, length=chunk)
+
+    rad0 = jnp.zeros((n, n_ch), jnp.float32)
+    (state, tau, rad), _ = jax.lax.scan(
+        chunk_fn, (state, jnp.zeros((n,), jnp.float32), rad0), None,
+        length=num_chunks,
+    )
+    res = march_ops._finish(state, budget, 1.0, None)
+    trans = jnp.exp(-tau) if sigma is not None else None
+    return res, trans, (rad if emission is not None else None)
+
+
 def _march_with_transmittance(packed, sigma, pos, dirs, budget, bend_scale, step_scale, chunk_steps):
     """March with a float optical-depth accumulator in the carry."""
     import functools
@@ -157,11 +317,15 @@ def _march_with_transmittance(packed, sigma, pos, dirs, budget, bend_scale, step
         prev_pos = state.pos
         prev_alive = state.alive
         state = step_fn(state)
-        # optical depth of the segment just marched (only for stepping rays)
-        ds = jnp.linalg.norm(state.pos - prev_pos, axis=-1)
+        # optical depth of the segment just marched (only for stepping rays);
+        # safe norm: see _march_accumulate
+        d = state.pos - prev_pos
+        ds2 = jnp.sum(d * d, axis=-1)
+        nz = (state.alive | prev_alive) & (ds2 > 0)
+        ds = jnp.where(nz, jnp.sqrt(jnp.where(nz, ds2, 1.0)), 0.0)
         mid = 0.5 * (state.pos + prev_pos)
         s = interp_linear(sigma, mid)
-        tau = tau + jnp.where(state.alive | prev_alive, s * ds, 0.0)
+        tau = tau + jnp.where(nz, s * ds, 0.0)
         return (state, tau), None
 
     @jax.checkpoint

@@ -91,6 +91,88 @@ def smoothness_penalty(ior: jax.Array) -> jax.Array:
     return total
 
 
+def image_loss(
+    ior: jax.Array,
+    camera,
+    target_image: jax.Array,
+    *,
+    budget: int,
+    invscale: float = 2.0,
+    sigma: Optional[jax.Array] = None,
+    emission: Optional[jax.Array] = None,
+    background=0.0,
+    chunk_steps: int = 64,
+) -> jax.Array:
+    """Image-space MSE: render the camera through ``ior`` (accumulating
+    transmittance + emission, models/camera.py) and compare per pixel —
+    the BASELINE config 2-4 objective, phrased in images."""
+    from .camera import render_image
+    from ..ops.fields import build_packed_field
+
+    packed = build_packed_field(ior)
+    out = render_image(
+        packed, ior, camera, budget=budget, invscale=invscale,
+        sigma=sigma, emission=emission, background=background,
+        chunk_steps=chunk_steps,
+    )
+    return jnp.mean((out["image"] - target_image) ** 2)
+
+
+def fit_field_image(
+    init_ior,
+    camera,
+    target_image,
+    *,
+    budget: int = 256,
+    invscale: float = 2.0,
+    sigma=None,
+    emission=None,
+    background=0.0,
+    chunk_steps: int = 64,
+    steps: int = 100,
+    optimizer=None,
+    learning_rate: float = 1e-3,
+    smoothness: float = 0.0,
+) -> "FitResult":
+    """Fit an index field so the rendered image matches ``target_image``
+    (per-pixel MSE through the differentiable emission/transmittance render).
+    """
+    if optax is None:  # pragma: no cover
+        raise RuntimeError("optax is required for fit_field_image")
+    opt = optimizer or optax.adam(learning_rate)
+    target_image = jnp.asarray(target_image, jnp.float32)
+    theta = softplus_ior_inverse(jnp.asarray(init_ior, jnp.float32))
+    opt_state = opt.init(theta)
+
+    def loss_fn(th):
+        ior = softplus_ior(th)
+        loss = image_loss(
+            ior, camera, target_image, budget=budget, invscale=invscale,
+            sigma=sigma, emission=emission, background=background,
+            chunk_steps=chunk_steps,
+        )
+        if smoothness > 0.0:
+            loss = loss + smoothness * smoothness_penalty(ior)
+        return loss
+
+    @jax.jit
+    def train_step(th, st):
+        loss, g = jax.value_and_grad(loss_fn)(th)
+        updates, st = opt.update(g, st, th)
+        return optax.apply_updates(th, updates), st, loss
+
+    losses = []
+    step = 0
+    for step in range(steps):
+        theta, opt_state, loss = train_step(theta, opt_state)
+        losses.append(float(loss))
+    return FitResult(
+        ior=np.asarray(softplus_ior(theta)),
+        losses=np.asarray(losses, np.float64),
+        step=step,
+    )
+
+
 # ---------------------------------------------------------------------------
 # the training loop
 # ---------------------------------------------------------------------------

@@ -13,10 +13,14 @@ from .bricks import (
     build_ior_slabs,
     build_packed_slabs,
     make_brick_train_step,
+    make_brick_train_step2d,
+    make_mesh2d,
     shard_slabs,
     trace_rays_bricked,
+    trace_rays_bricked2d,
 )
 from .shard import (
+    init_distributed,
     make_mesh,
     make_train_step,
     replicate,
@@ -28,12 +32,16 @@ __all__ = [
     "bricks",
     "build_ior_slabs",
     "build_packed_slabs",
+    "init_distributed",
     "make_brick_train_step",
+    "make_brick_train_step2d",
     "make_mesh",
+    "make_mesh2d",
     "make_train_step",
     "replicate",
     "shard_batch",
     "shard_slabs",
     "trace_rays_bricked",
+    "trace_rays_bricked2d",
     "trace_rays_sharded",
 ]

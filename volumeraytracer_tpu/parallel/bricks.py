@@ -444,3 +444,164 @@ def make_brick_train_step(
 def shard_slabs(mesh: Mesh, slabs: jax.Array, axis: str = "bricks") -> jax.Array:
     """Place a (num_bricks, ...) slab stack with one slab per device."""
     return jax.device_put(slabs, NamedSharding(mesh, P(axis)))
+
+
+# ---------------------------------------------------------------------------
+# 2-D mesh ('rays', 'bricks'): compute scales with the rays axis while the
+# field is sharded over the bricks axis — the compute-scaling layout VERDICT
+# round 1 asked for (the 1-D brick layout above replicates every ray on every
+# device, so adding chips adds capacity but zero rays/s)
+# ---------------------------------------------------------------------------
+
+
+def make_mesh2d(
+    n_rays_axis: int,
+    n_bricks_axis: int,
+    devices: Optional[Tuple[jax.Device, ...]] = None,
+) -> Mesh:
+    """(rays × bricks) device mesh.  Lay the *bricks* axis innermost so its
+    per-window psum combine rides adjacent-ICI links; ray shards never
+    communicate during a march (matching the reference's independent GPU
+    chunks, .cu:820-946)."""
+    devices = list(devices) if devices is not None else jax.devices()
+    need = n_rays_axis * n_bricks_axis
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(n_rays_axis, n_bricks_axis)
+    return Mesh(arr, ("rays", "bricks"))
+
+
+def trace_rays_bricked2d(
+    mesh: Mesh,
+    packed: jax.Array,
+    start_position: jax.Array,
+    start_direction: jax.Array,
+    budget: int,
+    *,
+    bend_scale,
+    step_scale,
+    k_steps: int = 64,
+) -> TraceResult:
+    """Forward float march on a ('rays', 'bricks') mesh: ray batch sharded
+    over the rays axis (compute parallel), field X-slabs sharded over the
+    bricks axis (capacity parallel), window psum-combine over bricks only.
+
+    Per-device compute is O(N_rays / rays_axis) — rays/s scales with the rays
+    axis (BASELINE config 5's scaling demand), unlike ``trace_rays_bricked``
+    which replicates the ray state.  Safe SPMD: the in-march psum groups only
+    span the bricks axis, and all devices of one rays-group share a bit-exact
+    replicated carry, hence identical while_loop trip counts.
+    """
+    num_b = mesh.shape["bricks"]
+    num_r = mesh.shape["rays"]
+    bounds = np.asarray(packed.shape[:-1], np.int64)
+    n, dim = start_position.shape
+    slabs, xs = build_packed_slabs(packed, num_b)
+    bend = jnp.broadcast_to(jnp.asarray(bend_scale, jnp.float32), (dim,))
+    step = jnp.broadcast_to(jnp.asarray(step_scale, jnp.float32), (dim,))
+
+    per = -(-n // num_r)
+    pad = per * num_r - n
+    pos = jnp.pad(start_position.astype(jnp.float32), ((0, pad), (0, 0)))
+    dirs = jnp.pad(
+        start_direction.astype(jnp.float32), ((0, pad), (0, 0)),
+        constant_values=1.0,
+    )
+    budgets = jnp.concatenate(
+        [jnp.full((n,), budget - 1, jnp.int32), jnp.zeros((pad,), jnp.int32)]
+    )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("bricks"), P("rays"), P("rays"), P("rays")),
+        out_specs=BrickState(
+            pos=P("rays"), direction=P("rays"), remaining=P("rays"),
+            alive=P("rays"),
+        ),
+        check_vma=False,  # see trace_rays_bricked
+    )
+    def run(slab_s, pos_s, dirs_s, rem_s):
+        my = jax.lax.axis_index("bricks")
+        slab = slab_s[0]
+        state = BrickState(
+            pos=pos_s, direction=dirs_s, remaining=rem_s,
+            alive=rem_s > 0,
+        )
+        window = functools.partial(
+            _window_fn, slab=slab, my=my, num=num_b, xs=xs, bounds=bounds,
+            bend=bend, step=step, k_steps=k_steps, axis="bricks",
+        )
+        return jax.lax.while_loop(lambda s: jnp.any(s.alive), window, state)
+
+    state = run(slabs, pos, dirs, budgets)
+    end_remaining = jnp.where(state.alive, 0, state.remaining).astype(jnp.uint32)
+    return TraceResult(
+        end_position=state.pos[:n],
+        end_direction=state.direction[:n],
+        end_iteration=(jnp.uint32(budget) - end_remaining)[:n],
+        remaining_light=jnp.full((n,), 0xFFFFFFFF, jnp.uint32),
+        path=None,
+    )
+
+
+def make_brick_train_step2d(
+    mesh: Mesh,
+    x_packed: int,
+    n_rays_total: int,
+    budget: int = 256,
+    invscale: float = 2.0,
+    k_steps: int = 32,
+    lr: float = 1e-3,
+):
+    """Training step on a ('rays', 'bricks') mesh: ior slabs sharded over
+    bricks, ray/target batch sharded over rays, loss = global mean squared
+    endpoint error.
+
+    Slab gradients: each rays-group's AD carries the exact ×num_bricks
+    psum-transpose factor of the 1-D path (see make_brick_train_step);
+    contributions from distinct rays-groups are genuinely different and are
+    summed with one psum over the rays axis, then the overlap strips are
+    reconciled over bricks.  ``n_rays_total`` must be divisible by the rays
+    axis (pad upstream with zero-budget rays if needed).
+    """
+    num_b = mesh.shape["bricks"]
+    num_r = mesh.shape["rays"]
+    if n_rays_total % num_r:
+        raise ValueError(f"{n_rays_total} rays not divisible by rays axis {num_r}")
+    xs = slab_cells(x_packed, num_b)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("bricks"), P("rays"), P("rays"), P("rays")),
+        out_specs=(P("bricks"), P()),
+        check_vma=False,  # see trace_rays_bricked
+    )
+    def step_fn(ior_slab_s, positions, directions, targets):
+        my = jax.lax.axis_index("bricks")
+        ior_slab = ior_slab_s[0]
+        spatial = ior_slab.shape
+        global_bounds = np.asarray(
+            (x_packed,) + tuple(s - 2 for s in spatial[1:]), np.int64
+        )
+
+        def loss_fn(slab):
+            end_pos, _ = brick_endpoint_render(
+                slab, my, num_b, xs, global_bounds, positions, directions,
+                budget, invscale, k_steps, "bricks",
+            )
+            # local partial of the GLOBAL mean: sum over this shard's rays
+            return jnp.sum((end_pos - targets) ** 2) / n_rays_total
+
+        loss, g = jax.value_and_grad(loss_fn)(ior_slab)
+        loss = jax.lax.psum(loss, "rays")
+        g = jax.lax.psum(g, "rays")
+        g = exchange_overlap_grads(g, "bricks", num_b) / num_b
+        return (ior_slab - lr * g)[None], loss
+
+    @jax.jit
+    def train_step(ior_slabs, positions, directions, targets):
+        return step_fn(ior_slabs, positions, directions, targets)
+
+    return train_step

@@ -35,11 +35,59 @@ from ..ops.interp import interp_linear
 from ..types import FIX_ONE, STEP_CONST, TraceResult
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    **kwargs,
+) -> dict:
+    """Multi-host entry point (≙ ``init()`` device discovery,
+    cuda_volume_raytracer.cu:82-101, generalised to a multi-host slice).
+
+    On a multi-host deployment call this once per process before any other
+    jax API, exactly like ``jax.distributed.initialize`` (all arguments are
+    forwarded; on Cloud TPU they are auto-detected from the metadata server
+    and may be omitted).  Single-process callers (tests, one host) may call
+    it with no arguments — it is then a no-op discovery.
+
+    Returns a summary dict: process index/count and local/global device
+    counts — the information the reference prints from ``init()``.
+    """
+    multi = (
+        coordinator_address is not None
+        or (num_processes is not None and num_processes > 1)
+    )
+    if multi and jax.process_count() == 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kwargs,
+        )
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
+
+
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = "rays") -> Mesh:
     """1-D device mesh over all (or the given) devices — the TPU analogue of
     ``init()`` device discovery (cuda_volume_raytracer.cu:82-101)."""
     devices = list(devices) if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_host_mesh(axes: Tuple[str, str] = ("rays", "bricks")) -> Mesh:
+    """(hosts × local-chips) mesh for a multi-host slice: the first axis
+    spans processes (DCN), the second the chips within each host (ICI) —
+    so ray data-parallelism crosses hosts while the bricks axis' per-window
+    psum stays on intra-host ICI links (SURVEY.md §5 comm table)."""
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    nproc = jax.process_count()
+    local = len(devs) // nproc
+    return Mesh(np.asarray(devs).reshape(nproc, local), axes)
 
 
 def pad_rays(n: int, num_shards: int) -> int:
