@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from volumeraytracer_tpu.kernels.march_pallas import (
-    BX, BY, BZ, CH,
+    BX, BY, BZ, PV, PVP, PX, PY, PZ, TCH,
     build_brick_table,
     march_pallas,
 )
@@ -36,26 +36,26 @@ def test_brick_table_matches_packed():
     table, nb = build_brick_table(packed, trc)
     table = np.asarray(table)
     nbx, nby, nbz = nb
-    assert table.shape == (nbx * nby * nbz, CH, BX * BY * BZ)
+    assert table.shape == (nbx * nby * nbz, TCH, PVP)
     p = np.asarray(packed)
     cx, cy, cz = (s - 1 for s in p.shape[:-1])
-    # spot-check every valid cell against the packed field
+    # spot-check: every corner of every valid cell is reachable as the
+    # anchor point + CORNER_OFF in the owning brick's point grid
     rng = np.random.default_rng(1)
     for _ in range(50):
         x, y, z = rng.integers(0, cx), rng.integers(0, cy), rng.integers(0, cz)
         b = ((x // BX) * nby + (y // BY)) * nbz + (z // BZ)
-        j = ((x % BX) * BY + (y % BY)) * BZ + (z % BZ)
-        o = 0
+        j = ((x % BX) * PY + (y % BY)) * PZ + (z % BZ)
         for dx_ in (0, 1):
             for dy_ in (0, 1):
                 for dz_ in (0, 1):
+                    jj = j + (dx_ * PY + dy_) * PZ + dz_
                     np.testing.assert_array_equal(
-                        table[b, o * 4 : o * 4 + 4, j], p[x + dx_, y + dy_, z + dz_]
+                        table[b, :4, jj], p[x + dx_, y + dy_, z + dz_]
                     )
-                    o += 1
         expect_absorb = (0xFFFFFFFF - float(np.asarray(trc)[x, y, z])) / 0xFFFFFFFF
-        np.testing.assert_allclose(table[b, 32, j], expect_absorb, atol=1e-7)
-        assert (table[b, 33:, j] == 0).all()
+        np.testing.assert_allclose(table[b, 4, j], expect_absorb, atol=1e-7)
+        assert (table[b, :, PV:] == 0).all()
 
 
 @pytest.mark.parametrize("budget", [64, 300])

@@ -27,10 +27,11 @@ boundary (different corners feed g).  ``tests/test_pallas_bwd.py`` bounds the
 drift empirically via the kernel's ``recon_pos`` diagnostic output (the fully
 reverse-reconstructed start position).
 
-Structure mirrors the forward kernel exactly (per-sublane brick residency,
-window scheduler, one-hot MXU gather — see march_pallas.py): the gather's
-transpose is the scatter ``d_brick += d_cache @ onehotᵀ``, the same
-systolic-array trick.  Per-sublane brick gradients accumulate in VMEM and are
+Structure mirrors the forward kernel exactly (per-sublane point-grid brick
+residency, rolled corner views, window scheduler, one-hot MXU gather — see
+march_pallas.py): the gather's transpose is the scatter ``d_rolled +=
+d_cache @ onehotᵀ``, the same systolic-array trick.  Per-corner gradients
+accumulate in VMEM and are roll-folded onto the brick's point grid and
 flushed to a brick-major HBM grad table by read-modify-write DMA whenever
 that sublane's scheduler switches bricks (the TPU grid and the in-kernel
 flushes are sequential ⇒ no races); the table arrives as an aliased zeros
@@ -56,44 +57,56 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..types import TraceResult
 from .march_pallas import (
-    BV,
     BX,
     BY,
     BZ,
-    CH,
+    CORNER_OFF,
     DEAD_ID,
     NCH,
+    PV,
+    PVP,
+    PX,
+    PY,
+    PZ,
     R,
+    RCH,
     RL,
     RS,
+    TCH,
     absorption_fraction,
     build_brick_table,
     march_pallas,
 )
 
-# grad-table channels: 8 corners × 4 field channels (opacity slot stays 0)
-GCH = 32
+# grad-table channels: one gradient row per field channel at each POINT of
+# the brick's point grid (dx, dy, dz; the opacity slot stays 0) — corner
+# contributions are roll-folded onto points at flush time, so the HBM table
+# carries no 8× corner duplication
+GCH = 4
+# in-VMEM accumulator rows: 8 corners × (3 grads + 1 zero) before the fold
+GROWS = 8 * NCH
 
 
 def _bwd_kernel(
     # inputs
-    table_ref,  # (NB, CH, BV) f32 ANY/HBM — forward brick table
-    gin_ref,  # (NB, GCH, BV) f32 ANY/HBM — zeros, aliased to gout_ref
+    table_ref,  # (NB, TCH, PVP) f32 ANY/HBM — forward point-grid table
+    gin_ref,  # (NB, GCH, PVP) f32 ANY/HBM — zeros, aliased to gout_ref
     px_ref, py_ref, pz_ref,  # (8, 128) f32 end positions
     vx_ref, vy_ref, vz_ref,  # (8, 128) f32 end directions
     rrem_ref,  # (8, 128) i32 executed-step counts (steps left to reverse)
     apx_ref, apy_ref, apz_ref,  # cotangent of end position
     avx_ref, avy_ref, avz_ref,  # cotangent of end direction
     # outputs
-    gout_ref,  # (NB, GCH, BV) f32 ANY/HBM — brick-major corner-grad table
+    gout_ref,  # (NB, GCH, PVP) f32 ANY/HBM — brick-major point-grad table
     oax_ref, oay_ref, oaz_ref,  # d start position
     obx_ref, oby_ref, obz_ref,  # d start (working) direction
     orx_ref, ory_ref, orz_ref,  # reconstructed start position (diagnostic)
     ow_ref,  # windows used (saturation detector)
     # scratch
-    brick_ref,  # (RS, CH, BV) f32 per-sublane resident forward brick
-    gbrick_ref,  # (RS, GCH, BV) f32 per-sublane brick-grad accumulator
-    tmp_ref,  # (1, GCH, BV) f32 RMW staging
+    brick_ref,  # (RS, TCH, PVP) f32 per-sublane resident point-grid bricks
+    brickro_ref,  # (RS, RCH, PVP) f32 rolled corner-view copies
+    gbrick_ref,  # (RS, GROWS, PVP) f32 per-corner grad accumulators
+    tmp_ref,  # (1, GCH, PVP) f32 RMW staging
     dma_sem, g_sem,
     *,
     max_windows: int,
@@ -106,24 +119,35 @@ def _bwd_kernel(
     ex, ey, ez = (jnp.float32(b) for b in bend)
     sx, sy, sz = (jnp.float32(s) for s in step)
     nbx, nby, nbz = (jnp.int32(v) for v in nb)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (BV, RL), 0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (PVP, RL), 0)
 
-    gbrick_ref[:] = jnp.zeros((RS, GCH, BV), jnp.float32)
+    gbrick_ref[:] = jnp.zeros((RS, GROWS, PVP), jnp.float32)
 
     def _flush(s, brick_id):
-        """Serialized RMW-accumulate of sublane s's grads into HBM."""
+        """Serialized RMW-accumulate of sublane s's grads into HBM.
+
+        The per-corner accumulator rows are roll-folded onto the brick's
+        point grid here (inverse of the gather's corner rolls): the
+        gradient for point q from corner o lives at lane q − CORNER_OFF[o]
+        of row o — rolling by +CORNER_OFF[o] re-aligns it; the circular
+        tail is zero (anchors stop at lane 1200 < PVP − max offset)."""
         rd = pltpu.make_async_copy(
             gout_ref.at[pl.ds(brick_id, 1)], tmp_ref, g_sem
         )
         rd.start()
         rd.wait()
-        tmp_ref[0] = tmp_ref[0] + gbrick_ref[s]
+        folded = tmp_ref[0]
+        for o in range(8):
+            folded = folded + pltpu.roll(
+                gbrick_ref[s, o * NCH : (o + 1) * NCH], CORNER_OFF[o], 1
+            )
+        tmp_ref[0] = folded
         wr = pltpu.make_async_copy(
             tmp_ref, gout_ref.at[pl.ds(brick_id, 1)], g_sem
         )
         wr.start()
         wr.wait()
-        gbrick_ref[s] = jnp.zeros((GCH, BV), jnp.float32)
+        gbrick_ref[s] = jnp.zeros((GROWS, PVP), jnp.float32)
 
     state0 = (
         px_ref[:], py_ref[:], pz_ref[:],
@@ -181,6 +205,14 @@ def _bwd_kernel(
                     brick_ref.at[pl.ds(s, 1)],
                     dma_sem.at[s],
                 ).wait()
+                b = brick_ref[s]
+                for o in range(8):
+                    # corner views by lane roll (see march_pallas)
+                    # pltpu.roll requires a non-negative shift:
+                    # roll(x, PVP - k) == roll(x, -k) on a PVP-circle
+                    brickro_ref[s, o * TCH : (o + 1) * TCH] = pltpu.roll(
+                        b, (PVP - CORNER_OFF[o]) % PVP, 1
+                    )
         new_ids = tuple(
             jnp.where(curs[s] != DEAD_ID, curs[s], prev_ids[s]) for s in range(RS)
         )
@@ -198,25 +230,25 @@ def _bwd_kernel(
         lx = jnp.clip((fpx - oxf).astype(jnp.int32), 0, BX - 1)
         ly = jnp.clip((fpy - oyf).astype(jnp.int32), 0, BY - 1)
         lz = jnp.clip((fpz - ozf).astype(jnp.int32), 0, BZ - 1)
-        lid = (lx * BY + ly) * BZ + lz  # (8, 128) in [0, BV)
+        lid = (lx * PY + ly) * PZ + lz  # anchor POINT id, (8, 128) in [0, PV)
 
-        # one-hot gather of the 40-channel corner rows (≙ forward refresh);
-        # the one-hots are REBUILT at scatter time rather than kept live
-        # across the step loop — 8 × (BV, RL) f32 retained buffers blow the
-        # 16 MiB scoped-VMEM budget on v5e
+        # one-hot gather of all corners' rows from the rolled copies
+        # (≙ forward refresh); the one-hots are REBUILT at scatter time
+        # rather than kept live across the step loop — 8 × (PVP, RL) f32
+        # retained buffers blow the scoped-VMEM budget
         parts = []
         for s in range(RS):
             onehot = (iota == lid[s : s + 1, :]).astype(jnp.float32)
             parts.append(
                 jax.lax.dot_general(
-                    brick_ref[s],
+                    brickro_ref[s],
                     onehot,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=precision,
                 )
-            )  # (CH, RL)
-        cache = jnp.stack(parts, axis=1)  # (CH, RS, RL)
+            )  # (RCH, RL)
+        cache = jnp.stack(parts, axis=1)  # (RCH, RS, RL)
 
         basex, basey, basez = fpx, fpy, fpz
         evaluable_w = in_cur  # already masked by live
@@ -257,9 +289,9 @@ def _bwd_kernel(
             g1 = zero
             g2 = zero
             for o in range(8):
-                g0 = g0 + wts[o] * cache[o * NCH + 0]
-                g1 = g1 + wts[o] * cache[o * NCH + 1]
-                g2 = g2 + wts[o] * cache[o * NCH + 2]
+                g0 = g0 + wts[o] * cache[o * TCH + 0]
+                g1 = g1 + wts[o] * cache[o * TCH + 1]
+                g2 = g2 + wts[o] * cache[o * TCH + 2]
 
             # reconstruct v_k (pre-bend direction)
             nvx = vx - g0 * ex
@@ -284,9 +316,9 @@ def _bwd_kernel(
             ndC = list(dC)
             for o in range(8):
                 m = (
-                    cache[o * NCH + 0] * h0
-                    + cache[o * NCH + 1] * h1
-                    + cache[o * NCH + 2] * h2
+                    cache[o * TCH + 0] * h0
+                    + cache[o * TCH + 1] * h1
+                    + cache[o * TCH + 2] * h2
                 )
                 Gx = Gx + dwx[o] * m
                 Gy = Gy + dwy[o] * m
@@ -318,14 +350,15 @@ def _bwd_kernel(
         state = out[:13]
         dC = out[13]
 
-        # transpose-scatter: per-sublane (GCH, RL) grad rows → brick grads
-        # via d_brick_s += d_cache_s @ onehot_sᵀ  (the gather's transpose)
+        # transpose-scatter: per-sublane (GROWS, RL) grad rows → per-corner
+        # anchor-point grads via d_rolled_s += d_cache_s @ onehot_sᵀ (the
+        # gather's transpose); the corner roll-fold happens once per flush
         rows = []
         for o in range(8):
             for c in range(3):
                 rows.append(dC[o * 3 + c])
             rows.append(zero)  # opacity channel: straight-through
-        drows = jnp.stack(rows, axis=0)  # (GCH, RS, RL)
+        drows = jnp.stack(rows, axis=0)  # (GROWS, RS, RL)
         for s in range(RS):
             onehot = (iota == lid[s : s + 1, :]).astype(jnp.float32)
             contrib = jax.lax.dot_general(
@@ -334,7 +367,7 @@ def _bwd_kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=precision,
-            )  # (GCH, BV)
+            )  # (GROWS, PVP)
             gbrick_ref[s] = gbrick_ref[s] + contrib
 
         return w + 1, new_ids, tuple(state)
@@ -399,9 +432,10 @@ def _bwd_call(
             i32s,
         ],
         scratch_shapes=[
-            pltpu.VMEM((RS, CH, BV), jnp.float32),
-            pltpu.VMEM((RS, GCH, BV), jnp.float32),
-            pltpu.VMEM((1, GCH, BV), jnp.float32),
+            pltpu.VMEM((RS, TCH, PVP), jnp.float32),
+            pltpu.VMEM((RS, RCH, PVP), jnp.float32),
+            pltpu.VMEM((RS, GROWS, PVP), jnp.float32),
+            pltpu.VMEM((1, GCH, PVP), jnp.float32),
             pltpu.SemaphoreType.DMA((RS,)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -420,33 +454,38 @@ def _bwd_call(
 
 
 def fold_brickmajor_grads(gtable: jax.Array, packed_shape, nb) -> jax.Array:
-    """Brick-major corner-grad table → gradient of the packed field.
+    """Brick-major point-grad table → gradient of the packed field.
 
-    Inverse of ``build_brick_table``'s addressing: un-brick the (NB, GCH, BV)
-    table to spatial cells and sum each cell's 8 corner-duplicated slots back
-    onto the voxels they duplicate.  Processed one x-row of bricks at a time
-    (mirrors ``_build_brick_table_jit``): a whole-volume (..., 32)-minor
-    intermediate tiles to 4× its logical bytes at 256³ and OOMs HBM."""
+    Inverse of ``build_brick_table``'s addressing: un-brick the (NB, GCH,
+    PVP) point grads and scatter-add the overlapping +1 halo planes back onto
+    the global points they replicate (each point is stored by up to 8
+    adjacent bricks).  Processed one x-row of bricks at a time (mirrors
+    ``_build_brick_table_jit``) to bound the small-minor relayout
+    intermediates — which are ~8× smaller than the round-1 corner-duplicated
+    design's."""
     X, Y, Z, C = packed_shape
     nbx, nby, nbz = nb
     CY, CZ = nby * BY, nbz * BZ
     acc0 = jnp.zeros((nbx * BX + 1, CY + 1, CZ + 1, NCH), jnp.float32)
-    g_rows = gtable.reshape(nbx, nby * nbz, GCH, BV)
+    g_rows = gtable.reshape(nbx, nby * nbz, GCH, PVP)
+    iy = jnp.asarray(
+        (np.arange(nby)[:, None] * BY + np.arange(PY)[None, :]).ravel()
+    )
+    iz = jnp.asarray(
+        (np.arange(nbz)[:, None] * BZ + np.arange(PZ)[None, :]).ravel()
+    )
 
     def slab(bx, acc):
-        g = g_rows[bx].reshape(nby, nbz, GCH, BX, BY, BZ)
-        g = g.transpose(3, 0, 4, 1, 5, 2).reshape(BX, CY, CZ, GCH)
-        contrib = jnp.zeros((BX + 1, CY + 1, CZ + 1, NCH), jnp.float32)
-        o = 0
-        for dx in (0, 1):
-            for dy in (0, 1):
-                for dz in (0, 1):
-                    contrib = contrib.at[
-                        dx : dx + BX, dy : dy + CY, dz : dz + CZ
-                    ].add(g[..., o * NCH : (o + 1) * NCH])
-                    o += 1
+        g = g_rows[bx][:, :, :PV].reshape(nby, nbz, GCH, PX, PY, PZ)
+        g = g.transpose(3, 0, 4, 1, 5, 2)  # (PX, nby, PY, nbz, PZ, GCH)
+        g = g.reshape(PX, nby * PY, nbz * PZ, GCH)
+        # scatter-add the overlapping windows (duplicate indices sum)
+        t = jnp.zeros((PX, nby * PY, CZ + 1, GCH), jnp.float32)
+        t = t.at[:, :, iz].add(g)
+        contrib = jnp.zeros((PX, CY + 1, CZ + 1, GCH), jnp.float32)
+        contrib = contrib.at[:, iy].add(t)
         cur = jax.lax.dynamic_slice(
-            acc, (bx * BX, 0, 0, 0), (BX + 1, CY + 1, CZ + 1, NCH)
+            acc, (bx * BX, 0, 0, 0), (PX, CY + 1, CZ + 1, NCH)
         )
         return jax.lax.dynamic_update_slice(acc, cur + contrib, (bx * BX, 0, 0, 0))
 
@@ -491,7 +530,7 @@ def _bwd_impl(
         max_windows = 2 * budget + 64
 
     rows = n // RL
-    gzeros = jnp.zeros((n_bricks, GCH, BV), jnp.float32)
+    gzeros = jnp.zeros((n_bricks, GCH, PVP), jnp.float32)
     outs = _bwd_call(
         table, gzeros,
         pos[:, 0].reshape(rows, RL), pos[:, 1].reshape(rows, RL),
@@ -527,6 +566,13 @@ def _make_vjp_fn(budget, bend, step, min_bright, has_absorb, k_steps,
     straight-through)."""
 
     def fwd_impl(packed, pos, dirs, absorb):
+        # build the (expensive, 8×-duplicated) brick table ONCE and thread it
+        # through to the backward as a residual — the reverse replay reads the
+        # same table, and the build's big relayout transposes dominate the
+        # whole train step at 256³ if repeated
+        table, nb = build_brick_table(
+            packed, absorb=absorb if has_absorb else None
+        )
         res, raw = march_pallas(
             packed, pos, dirs, budget,
             bend_scale=np.asarray(bend, np.float32),
@@ -534,31 +580,33 @@ def _make_vjp_fn(budget, bend, step, min_bright, has_absorb, k_steps,
             absorb=absorb if has_absorb else None,
             minimum_brightness=min_bright,
             k_steps=k_steps, interpret=interpret, return_state=True,
+            table=table, nb=nb,
         )
-        return res, raw
+        return res, raw, table
 
     @jax.custom_vjp
     def f(packed, pos, dirs, absorb):
-        res, _ = fwd_impl(packed, pos, dirs, absorb)
+        res, _, _ = fwd_impl(packed, pos, dirs, absorb)
         return (res.end_position, res.end_direction, res.end_iteration,
                 res.remaining_light, res.windows_used)
 
     def f_fwd(packed, pos, dirs, absorb):
-        res, raw = fwd_impl(packed, pos, dirs, absorb)
+        res, raw, table = fwd_impl(packed, pos, dirs, absorb)
         # executed steps from the RAW remaining counter (budget-1 − rem):
         # correct even for rays still alive at the forward's max_windows cap,
         # where end_iteration would claim the whole budget
         nexec = jnp.maximum(jnp.int32(budget - 1) - raw["remaining"], 0)
         out = (res.end_position, res.end_direction, res.end_iteration,
                res.remaining_light, res.windows_used)
-        return out, (packed, absorb, res.end_position, res.end_direction, nexec)
+        return out, (packed, absorb, table, res.end_position,
+                     res.end_direction, nexec)
 
     def f_bwd(residuals, cot):
-        packed, absorb, end_pos, end_dir, nexec = residuals
+        packed, absorb, table, end_pos, end_dir, nexec = residuals
         d_pos, d_dir = cot[0], cot[1]  # int outputs carry no cotangent
-        table, nb = build_brick_table(
-            packed, absorb=absorb if has_absorb else None
-        )
+        from .march_pallas import brick_grid
+
+        nb = brick_grid(packed.shape)
         gtable, d_pos0, d_dir0, _, _ = _bwd_impl(
             table, nb, end_pos, end_dir, nexec, d_pos, d_dir,
             bend=bend, step=step, k_steps=k_steps,

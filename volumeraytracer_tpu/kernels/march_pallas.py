@@ -14,23 +14,26 @@ from measured chip behaviour (benchmarks/probe_timing.py):
 
 Design (per grid program = one tile of R = 1024 rays in (8, 128) layout):
 
-  1. The field is preprocessed into a **brick table** ``(NB, 40, 1024)``:
-     brick = 8×8×16 cells; each cell's row holds its 8 trilinear corners ×
-     4 channels (corner-duplicated — the VMEM analogue of the CUDA texture
-     cache, .cu:130-155) + 1 absorption channel + 7 zero pad.
+  1. The field is preprocessed into a **point-grid brick table**
+     ``(NB, TCH=5, PVP=1408)``: brick = 8×8×16 cells, stored as its
+     9×9×17 POINT grid (cells + interpolation halo) — the VMEM analogue of
+     the CUDA texture cache (.cu:130-155) *without* corner duplication
+     (round-1's 8×-duplicated layout made the table build and gradient fold
+     relayouts dominate the train step).
   2. An in-kernel **window scheduler** (while-loop): each of the 8 sublanes
      (128 rays) keeps its own resident brick in VMEM; per window, every
      sublane computes the *minimum* live brick id of its rays, DMAs that
-     brick HBM→VMEM when it changed (all 8 DMAs overlapped), and marches its
-     rays of that brick for ``k_steps`` fixed steps; rays in other bricks
-     (or that leave their 2×2×2 interpolation cell) stall — predication
-     replaces the reference's per-ray ``break`` divergence, and per-sublane
-     residency keeps occupancy up when a tile's rays spread over bricks.
-  3. The per-window **refresh** gathers every ray's 40-channel corner row by
-     a broadcast-compare one-hot (iota == cell_id) and one MXU matmul per
-     sublane — gather-by-matmul, the only fast dynamic addressing on this
-     hardware (``tpu.dynamic_gather`` is unavailable on the target libtpu;
-     see probe_mosaic.py probe A).
+     brick HBM→VMEM when it changed (all 8 DMAs overlapped) and materialises
+     8 lane-rolled corner views (``CORNER_OFF``), then marches its rays of
+     that brick for ``k_steps`` fixed steps; rays in other bricks (or that
+     leave their 2×2×2 interpolation cell) stall — predication replaces the
+     reference's per-ray ``break`` divergence, and per-sublane residency
+     keeps occupancy up when a tile's rays spread over bricks.
+  3. The per-window **refresh** gathers all 8 corners' 5-channel rows by a
+     broadcast-compare one-hot (iota == point_id) and ONE (40, PVP) MXU
+     matmul per sublane against the rolled copies — gather-by-matmul, the
+     only fast dynamic addressing on this hardware (``tpu.dynamic_gather``
+     is unavailable on the target libtpu; see probe_mosaic.py probe A).
 
 The driver sorts rays once by brick id for locality (the TPU equivalent of
 the reference's 0x8000-ray chunk scheduler, .cu:798-946).  Efficiency
@@ -56,10 +59,22 @@ RS, RL = 8, 128
 R = RS * RL
 # brick extent in cells
 BX, BY, BZ = 8, 8, 16
-BV = BX * BY * BZ  # cells per brick = one-hot contraction length
-CH = 40  # 8 corners × 4 field channels + absorption + 7 pad
+BV = BX * BY * BZ  # cells per brick
+# POINT grid per brick: a brick's cells plus the +1 interpolation halo —
+# stored WITHOUT corner duplication (the round-1 design duplicated all 8
+# corners per cell, an 8× table blowup whose build/fold relayouts dominated
+# the train step); the 8 corner views are reconstructed in VMEM by rolls
+PX, PY, PZ = BX + 1, BY + 1, BZ + 1
+PV = PX * PY * PZ  # 1377 points
+PVP = 1408  # PV padded to a lane multiple (11 × 128)
+TCH = 5  # table channels: dx, dy, dz, opacity, absorption
+RCH = 8 * TCH  # rolled-copy buffer rows: 8 corners × TCH
 NCH = 4  # interpolated field channels (3D: dx, dy, dz, opacity)
-ABSORB_CH = 32  # table row slot of the per-cell absorption fraction
+ABSORB_CH = 4  # cache row of the corner-0 absorption sample (point = cell)
+#: lane offset of corner (dx, dy, dz) within a brick's point grid
+CORNER_OFF = tuple(
+    (dx * PY + dy) * PZ + dz for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
+)
 DEAD_ID = 0x7FFFFFFF  # plain int: jnp constants may not be captured by kernels
 BRIGHT_MAX_F = float(0xFFFFFFFF)
 
@@ -72,46 +87,52 @@ def brick_grid(packed_shape) -> Tuple[int, int, int]:
 
 @functools.partial(jax.jit, static_argnames=("has_absorb",))
 def _build_brick_table_jit(packed, absorb, *, has_absorb):
-    """Slab-chunked table build: one x-row of bricks at a time via lax.map,
-    keeping every (tile-padded) intermediate to ~hundreds of MB even at 256³
-    (a single whole-volume 7-D transpose pads 3.2× and OOMs)."""
+    """Slab-chunked POINT-grid table build: one x-row of bricks at a time via
+    lax.map.  Each brick stores its (PX, PY, PZ) point grid (cells + 1-point
+    interpolation halo) row-major in the lane axis — adjacent bricks share
+    their boundary plane (the only duplication), so the table is ~8× smaller
+    than the round-1 corner-duplicated design and the build moves ~8× fewer
+    bytes through the (unavoidably small-minor) brick-major relayout."""
     X, Y, Z, C = packed.shape
     nbx, nby, nbz = brick_grid(packed.shape)
     CY, CZ = nby * BY, nbz * BZ  # padded cell extents (y, z)
-    # pad the point grid so every brick's cells have all 8 corners addressable
     packed_p = jnp.pad(
         packed,
         ((0, nbx * BX + 1 - X), (0, CY + 1 - Y), (0, CZ + 1 - Z), (0, 0)),
     )
     if not has_absorb:
         absorb = jnp.zeros((1, 1, 1), jnp.float32)
+    # absorption is point-sampled at the anchor cell (corner 0), so the cell
+    # grid doubles as its point grid; rows past the cell extent are never read
     absorb_p = jnp.pad(
         absorb,
         (
-            (0, max(0, nbx * BX - absorb.shape[0])),
-            (0, max(0, CY - absorb.shape[1])),
-            (0, max(0, CZ - absorb.shape[2])),
+            (0, max(0, nbx * BX + 1 - absorb.shape[0])),
+            (0, max(0, CY + 1 - absorb.shape[1])),
+            (0, max(0, CZ + 1 - absorb.shape[2])),
         ),
-    )[: nbx * BX, :CY, :CZ]
+    )[: nbx * BX + 1, : CY + 1, : CZ + 1]
+
+    # static overlapping-window indices: brick b's point j is global b*B + j
+    iy = (np.arange(nby)[:, None] * BY + np.arange(PY)[None, :]).ravel()
+    iz = (np.arange(nbz)[:, None] * BZ + np.arange(PZ)[None, :]).ravel()
 
     def slab(bx):
         sl = jax.lax.dynamic_slice(
-            packed_p, (bx * BX, 0, 0, 0), (BX + 1, CY + 1, CZ + 1, C)
+            packed_p, (bx * BX, 0, 0, 0), (PX, CY + 1, CZ + 1, C)
         )
-        parts = []
-        for dx in (0, 1):
-            for dy in (0, 1):
-                for dz in (0, 1):
-                    parts.append(sl[dx : dx + BX, dy : dy + CY, dz : dz + CZ, :])
-        ab = jax.lax.dynamic_slice(absorb_p, (bx * BX, 0, 0), (BX, CY, CZ))
-        parts.append(ab[..., None])
-        parts.append(jnp.zeros((BX, CY, CZ, CH - 33), jnp.float32))
-        t = jnp.concatenate(parts, axis=-1)  # (BX, CY, CZ, CH)
-        t = t.reshape(BX, nby, BY, nbz, BZ, CH).transpose(1, 3, 5, 0, 2, 4)
-        return t.reshape(nby * nbz, CH, BV)
+        ab = jax.lax.dynamic_slice(
+            absorb_p, (bx * BX, 0, 0), (PX, CY + 1, CZ + 1)
+        )
+        t = jnp.concatenate([sl, ab[..., None]], axis=-1)  # (PX, CY+1, CZ+1, TCH)
+        t = jnp.take(t, jnp.asarray(iy), axis=1)
+        t = jnp.take(t, jnp.asarray(iz), axis=2)  # (PX, nby*PY, nbz*PZ, TCH)
+        t = t.reshape(PX, nby, PY, nbz, PZ, TCH).transpose(1, 3, 5, 0, 2, 4)
+        t = t.reshape(nby * nbz, TCH, PV)
+        return jnp.pad(t, ((0, 0), (0, 0), (0, PVP - PV)))
 
-    out = jax.lax.map(slab, jnp.arange(nbx))  # (nbx, nby*nbz, CH, BV)
-    return out.reshape(nbx * nby * nbz, CH, BV)
+    out = jax.lax.map(slab, jnp.arange(nbx))  # (nbx, nby*nbz, TCH, PVP)
+    return out.reshape(nbx * nby * nbz, TCH, PVP)
 
 
 def absorption_fraction(translucency: jax.Array) -> jax.Array:
@@ -129,7 +150,7 @@ def build_brick_table(
     *,
     absorb: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Tuple[int, int, int]]:
-    """Brick-major corner-duplicated cell table.
+    """Brick-major point-grid table (no corner duplication).
 
     packed: (X, Y, Z, 4) float32 preprocessed diff field (ops/fields.py).
     translucency: optional (X, Y, Z) uint32 cropped translucency grid
@@ -137,12 +158,13 @@ def build_brick_table(
     absorb: alternatively, the float32 absorption-fraction grid directly
       (used by the differentiable wrapper, which needs float inputs).
 
-    Returns ``(table, nb)``: table (NB, 40, 1024) f32 with
-    ``table[b, o*4+c, (lx*BY+ly)*BZ+lz]`` = channel ``c`` of corner ``o``
-    (product (dx,dy,dz) order) of cell ``(bx*BX+lx, ...)`` of brick
-    ``b = (bx*nby + by)*nbz + bz``; row 32 = absorption; rows 33-39 zero.
-    Cells outside the valid grid are zero (never evaluated: global bounds
-    predication).
+    Returns ``(table, nb)``: table (NB, TCH=5, PVP=1408) f32 with
+    ``table[b, c, (px*PY+py)*PZ+pz]`` = channel ``c`` (dx, dy, dz, opacity,
+    absorption) at POINT ``(bx*BX+px, by*BY+py, bz*BZ+pz)`` of brick
+    ``b = (bx*nby + by)*nbz + bz`` — the brick's cells plus their +1
+    interpolation halo, with no corner duplication (corner views are
+    reconstructed in VMEM by lane rolls of CORNER_OFF).  Points outside the
+    valid grid are zero (never evaluated: global bounds predication).
     """
     assert packed.shape[-1] == NCH
     nb = brick_grid(packed.shape)
@@ -159,7 +181,7 @@ def build_brick_table(
 
 def _march_kernel(
     # inputs
-    table_ref,  # (NB, CH, BV) f32 in ANY/HBM
+    table_ref,  # (NB, TCH, PVP) f32 in ANY/HBM
     px_ref, py_ref, pz_ref,  # (8, 128) f32 blocks
     dx_ref, dy_ref, dz_ref,  # (8, 128) f32 blocks
     rem_ref, alive_ref,  # (8, 128) i32 blocks
@@ -168,7 +190,8 @@ def _march_kernel(
     opx_ref, opy_ref, opz_ref, odx_ref, ody_ref, odz_ref,
     orem_ref, oalive_ref, obr_ref, ow_ref,
     # scratch
-    brick_ref,  # (CH, BV) f32 resident brick
+    brick_ref,  # (RS, TCH, PVP) f32 per-sublane resident point-grid bricks
+    brickro_ref,  # (RS, RCH, PVP) f32 rolled corner-view copies
     dma_sem,
     *,
     max_windows: int,
@@ -188,7 +211,7 @@ def _march_kernel(
     stepx, stepy, stepz = (jnp.float32(s) for s in step)
     nbx, nby, nbz = (jnp.int32(v) for v in nb)
     minb = jnp.float32(min_bright)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (BV, RL), 0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (PVP, RL), 0)
 
     state0 = (
         px_ref[:], py_ref[:], pz_ref[:],
@@ -226,7 +249,10 @@ def _march_kernel(
         ids = jnp.where(alive != 0, ids, DEAD_ID)
         curs = [jnp.min(ids[s : s + 1, :]) for s in range(RS)]  # scalars
 
-        # overlapped conditional DMAs: start all changed bricks, then wait
+        # overlapped conditional DMAs: start all changed bricks, then wait;
+        # on arrival, materialise the 8 corner views as lane-rolled copies
+        # (brickro[o*TCH+c, p] = brick[c, p + CORNER_OFF[o]]) so the per-
+        # window refresh is ONE (RCH, PVP) @ (PVP, RL) matmul per sublane
         for s in range(RS):
             @pl.when((curs[s] != prev_ids[s]) & (curs[s] != DEAD_ID))
             def _(s=s):
@@ -243,6 +269,16 @@ def _march_kernel(
                     brick_ref.at[pl.ds(s, 1)],
                     dma_sem.at[s],
                 ).wait()
+                b = brick_ref[s]
+                for o in range(8):
+                    # roll(-k): out[p] = in[p + k]; the circular tail only
+                    # pollutes p > PVP - k ≥ 1237, beyond any gathered
+                    # anchor (max (7·PY+7)·PZ+15 = 1200)
+                    # pltpu.roll requires a non-negative shift:
+                    # roll(x, PVP - k) == roll(x, -k) on a PVP-circle
+                    brickro_ref[s, o * TCH : (o + 1) * TCH] = pltpu.roll(
+                        b, (PVP - CORNER_OFF[o]) % PVP, 1
+                    )
         new_ids = tuple(
             jnp.where(curs[s] != DEAD_ID, curs[s], prev_ids[s]) for s in range(RS)
         )
@@ -261,23 +297,24 @@ def _march_kernel(
         lx = jnp.clip((fpx - oxf).astype(jnp.int32), 0, BX - 1)
         ly = jnp.clip((fpy - oyf).astype(jnp.int32), 0, BY - 1)
         lz = jnp.clip((fpz - ozf).astype(jnp.int32), 0, BZ - 1)
-        lid = (lx * BY + ly) * BZ + lz  # (8, 128) in [0, BV)
+        lid = (lx * PY + ly) * PZ + lz  # anchor POINT id, (8, 128) in [0, PV)
 
-        # ---- refresh: per-sublane one-hot gather of the 40-channel rows ----
-        # cache[c, s, l] = brick[s, c, lid[s, l]] for in_cur rays (else junk)
+        # ---- refresh: per-sublane one-hot MXU gather of all 8 corners'
+        # TCH-channel rows from the rolled-copy buffer ----
+        # cache[o*TCH+c, s, l] = table[c, lid[s, l] + CORNER_OFF[o]]
         parts = []
         for s in range(RS):
             onehot = (iota == lid[s : s + 1, :]).astype(jnp.float32)
             parts.append(
                 jax.lax.dot_general(
-                    brick_ref[s],
+                    brickro_ref[s],
                     onehot,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=precision,
                 )
-            )  # (CH, RL)
-        cache = jnp.stack(parts, axis=1)  # (CH, RS, RL)
+            )  # (RCH, RL)
+        cache = jnp.stack(parts, axis=1)  # (RCH, RS, RL)
 
         # cell anchor for this refresh window
         basex, basey, basez = fpx, fpy, fpz
@@ -321,7 +358,7 @@ def _march_kernel(
             interp = [jnp.zeros((RS, RL), jnp.float32) for _ in range(NCH)]
             for o in range(8):
                 for c in range(NCH):
-                    interp[c] = interp[c] + wts[o] * cache[o * NCH + c]
+                    interp[c] = interp[c] + wts[o] * cache[o * TCH + c]
 
             opaque = interp[3] > 0.0
             if has_absorb:
@@ -411,7 +448,8 @@ def _march_call(
         out_specs=[state_spec] * 10,
         out_shape=[f32s] * 6 + [i32s, i32s, f32s, i32s],
         scratch_shapes=[
-            pltpu.VMEM((RS, CH, BV), jnp.float32),
+            pltpu.VMEM((RS, TCH, PVP), jnp.float32),
+            pltpu.VMEM((RS, RCH, PVP), jnp.float32),
             pltpu.SemaphoreType.DMA((RS,)),
         ],
         interpret=interpret,
