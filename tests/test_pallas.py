@@ -197,14 +197,16 @@ def test_scene_api_pallas_kernel_matches_xla():
     )
 
 
-def test_scene_api_pallas_rejects_unsupported():
+def test_scene_api_pallas_unsupported_falls_back():
+    """An explicit kernel='pallas' request on a 2D volume warns and falls
+    back to the XLA march (tests/test_dispatch.py covers the full dispatch
+    contract) instead of raising."""
     import numpy as np
-    import pytest
     from volumeraytracer_tpu import RaytraceScene
 
     sc2 = RaytraceScene(np.ones((8, 8), np.float32))
-    with pytest.raises(ValueError, match="2D"):
-        sc2.trace_rays(
-            np.full((1, 2), 2.0, np.float32), np.ones((1, 2), np.float32),
-            mode="float", kernel="pallas", iterations=8,
-        )
+    res = sc2.trace_rays(
+        np.full((1, 2), 2.0, np.float32), np.ones((1, 2), np.float32),
+        mode="float", kernel="pallas", iterations=8,
+    )
+    assert res.end_position.shape == (1, 2)

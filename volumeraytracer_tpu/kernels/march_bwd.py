@@ -78,13 +78,16 @@ from .march_pallas import (
     march_pallas,
 )
 
-# grad-table channels: one gradient row per field channel at each POINT of
-# the brick's point grid (dx, dy, dz; the opacity slot stays 0) — corner
-# contributions are roll-folded onto points at flush time, so the HBM table
-# carries no 8× corner duplication
-GCH = 4
-# in-VMEM accumulator rows: 8 corners × (3 grads + 1 zero) before the fold
-GROWS = 8 * NCH
+# grad-table channel STRIDE: one gradient row per field channel at each
+# POINT of the brick's point grid (dx, dy, dz live; the opacity slot and
+# rows 4-7 stay 0) — corner contributions are roll-folded onto points at
+# flush time, so the HBM table carries no 8× corner duplication.  The
+# stride is 8 (not the 4 live channels) so the RMW DMA slices
+# ``gout[b]`` = (1, GCH, PVP) meet the f32 8-sublane Mosaic tiling rule,
+# same as the forward table's TCH.
+GCH = 8
+# in-VMEM accumulator rows: 8 corners × (3 grads + 5 zeros) before the fold
+GROWS = 8 * GCH
 
 
 def _bwd_kernel(
@@ -139,7 +142,7 @@ def _bwd_kernel(
         folded = tmp_ref[0]
         for o in range(8):
             folded = folded + pltpu.roll(
-                gbrick_ref[s, o * NCH : (o + 1) * NCH], CORNER_OFF[o], 1
+                gbrick_ref[s, o * GCH : (o + 1) * GCH], CORNER_OFF[o], 1
             )
         tmp_ref[0] = folded
         wr = pltpu.make_async_copy(
@@ -357,7 +360,8 @@ def _bwd_kernel(
         for o in range(8):
             for c in range(3):
                 rows.append(dC[o * 3 + c])
-            rows.append(zero)  # opacity channel: straight-through
+            # opacity channel (straight-through) + 8-sublane stride padding
+            rows.extend([zero] * (GCH - 3))
         drows = jnp.stack(rows, axis=0)  # (GROWS, RS, RL)
         for s in range(RS):
             onehot = (iota == lid[s : s + 1, :]).astype(jnp.float32)
@@ -487,7 +491,9 @@ def fold_brickmajor_grads(gtable: jax.Array, packed_shape, nb) -> jax.Array:
         cur = jax.lax.dynamic_slice(
             acc, (bx * BX, 0, 0, 0), (PX, CY + 1, CZ + 1, NCH)
         )
-        return jax.lax.dynamic_update_slice(acc, cur + contrib, (bx * BX, 0, 0, 0))
+        return jax.lax.dynamic_update_slice(
+            acc, cur + contrib[..., :NCH], (bx * BX, 0, 0, 0)
+        )
 
     acc = jax.lax.fori_loop(0, nbx, slab, acc0)
     return acc[:X, :Y, :Z]

@@ -15,7 +15,9 @@ from measured chip behaviour (benchmarks/probe_timing.py):
 Design (per grid program = one tile of R = 1024 rays in (8, 128) layout):
 
   1. The field is preprocessed into a **point-grid brick table**
-     ``(NB, TCH=5, PVP=1408)``: brick = 8×8×16 cells, stored as its
+     ``(NB, TCH=8, PVP=1408)`` (5 live channels + 3 zero rows so the
+     per-brick HBM DMA slice is aligned to the f32 8-sublane tile):
+     brick = 8×8×16 cells, stored as its
      9×9×17 POINT grid (cells + interpolation halo) — the VMEM analogue of
      the CUDA texture cache (.cu:130-155) *without* corner duplication
      (round-1's 8×-duplicated layout made the table build and gradient fold
@@ -67,7 +69,13 @@ BV = BX * BY * BZ  # cells per brick
 PX, PY, PZ = BX + 1, BY + 1, BZ + 1
 PV = PX * PY * PZ  # 1377 points
 PVP = 1408  # PV padded to a lane multiple (11 × 128)
-TCH = 5  # table channels: dx, dy, dz, opacity, absorption
+# Table channel STRIDE.  5 channels are live (dx, dy, dz, opacity,
+# absorption); rows 5-7 are zero padding so every HBM slice
+# ``table[b]`` = (1, TCH, PVP) is aligned to the f32 8-sublane tile —
+# Mosaic rejects second-minor DMA extents not divisible by 8
+# ("Slice shape along dimension 1 must be aligned to tiling (8)").
+TCH = 8
+LCH = 5  # live channels within the TCH stride
 RCH = 8 * TCH  # rolled-copy buffer rows: 8 corners × TCH
 NCH = 4  # interpolated field channels (3D: dx, dy, dz, opacity)
 ABSORB_CH = 4  # cache row of the corner-0 absorption sample (point = cell)
@@ -124,7 +132,9 @@ def _build_brick_table_jit(packed, absorb, *, has_absorb):
         ab = jax.lax.dynamic_slice(
             absorb_p, (bx * BX, 0, 0), (PX, CY + 1, CZ + 1)
         )
-        t = jnp.concatenate([sl, ab[..., None]], axis=-1)  # (PX, CY+1, CZ+1, TCH)
+        t = jnp.concatenate([sl, ab[..., None]], axis=-1)  # (PX, CY+1, CZ+1, LCH)
+        # zero-pad the channel dim to the 8-sublane DMA stride
+        t = jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, TCH - LCH)))
         t = jnp.take(t, jnp.asarray(iy), axis=1)
         t = jnp.take(t, jnp.asarray(iz), axis=2)  # (PX, nby*PY, nbz*PZ, TCH)
         t = t.reshape(PX, nby, PY, nbz, PZ, TCH).transpose(1, 3, 5, 0, 2, 4)
@@ -158,7 +168,8 @@ def build_brick_table(
     absorb: alternatively, the float32 absorption-fraction grid directly
       (used by the differentiable wrapper, which needs float inputs).
 
-    Returns ``(table, nb)``: table (NB, TCH=5, PVP=1408) f32 with
+    Returns ``(table, nb)``: table (NB, TCH=8, PVP=1408) f32 (5 live
+    channels + 3 zero-pad rows for the 8-sublane DMA tile) with
     ``table[b, c, (px*PY+py)*PZ+pz]`` = channel ``c`` (dx, dy, dz, opacity,
     absorption) at POINT ``(bx*BX+px, by*BY+py, bz*BZ+pz)`` of brick
     ``b = (bx*nby + by)*nbz + bz`` — the brick's cells plus their +1

@@ -173,19 +173,15 @@ class RaytraceScene:
         elif mode == "float":
             pos = jnp.asarray(start_position, jnp.float32).reshape(-1, self.dim)
             dirs = jnp.asarray(start_direction, jnp.float32).reshape(-1, self.dim)
-            if kernel not in ("auto", "xla", "pallas"):
+            if kernel not in ("auto", "xla", "pallas", "native"):
                 raise ValueError(f"unknown kernel {kernel!r}")
+            if kernel == "native":
+                return self._trace_float_native(
+                    pos, dirs, tuple(invscale.tolist()), iterations,
+                    trace_path, normalize_length, differentiable,
+                )
+            kernel = self._select_kernel(kernel, trace_path, int(pos.shape[0]))
             if kernel == "pallas":
-                unsupported = []
-                if self.dim != 3:
-                    unsupported.append("2D volumes")
-                if trace_path:
-                    unsupported.append("trace_path")
-                if unsupported:
-                    raise ValueError(
-                        "kernel='pallas' does not support: " + ", ".join(unsupported)
-                        + " (use kernel='xla')"
-                    )
                 return self._trace_float_pallas(
                     pos, dirs, tuple(invscale.tolist()), iterations,
                     minimum_brightness, normalize_length, differentiable,
@@ -202,6 +198,41 @@ class RaytraceScene:
                 differentiable,
             )
         raise ValueError(f"unknown mode {mode!r}")
+
+    def _select_kernel(self, kernel: str, trace_path: bool, n_rays: int) -> str:
+        """Resolve the float-path kernel (≙ the reference scheduler's
+        ray-count GPU/CPU auto-dispatch, cuda_volume_raytracer.cu:804-810).
+
+        ``auto`` picks the fused Pallas kernel on TPU for 3-D, no-path
+        batches of at least ``Options.minimum_device_rays`` rays (≙
+        ``_minimum_gpu``, types.h:87); anything else takes the XLA march.
+        An explicit ``pallas`` request with unsupported features warns and
+        falls back to XLA instead of erroring — one user-facing contract,
+        the way the reference compiles dead features away rather than
+        failing (DummyArray/DummyObject, cuda_volume_raytracer.cu:216-236).
+        """
+        unsupported = []
+        if self.dim != 3:
+            unsupported.append("2D volumes")
+        if trace_path:
+            unsupported.append("trace_path")
+        if kernel == "pallas":
+            if unsupported:
+                self._log.warning(
+                    "kernel='pallas' does not support %s; falling back to "
+                    "the XLA march", ", ".join(unsupported),
+                )
+                return "xla"
+            return "pallas"
+        if kernel == "auto":
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            if (
+                not unsupported
+                and on_tpu
+                and n_rays >= self.options.minimum_device_rays
+            ):
+                return "pallas"
+        return "xla"
 
     # cache jitted closures per (static-args) signature
     @functools.lru_cache(maxsize=None)
@@ -330,6 +361,43 @@ class RaytraceScene:
             end_direction=res.end_direction,
             end_iteration=res.end_iteration,
             remaining_light=res.remaining_light,
+            path=None,
+        )
+
+    def _trace_float_native(self, pos, dirs, invscale, iterations, trace_path,
+                            normalize_length, differentiable):
+        """Float forward via the scalar C++ host oracle (native/vrt_native.cpp)
+        — the analogue of the reference's CPU worker pool
+        (cuda_volume_raytracer.cu:376-394,809), with host parallelism capped
+        by ``Options.max_cpu`` (≙ ``_max_cpu``, types.h:89, .cu:389)."""
+        from .. import native
+
+        if self.dim != 3 or trace_path or differentiable or \
+                self.translucency_cropped is not None:
+            raise ValueError(
+                "kernel='native' supports only plain 3D float marches "
+                "(no trace_path/differentiable/translucency)"
+            )
+        inv = np.asarray(invscale, np.float32)
+        bend_scale = inv / float(FIX_ONE)
+        step_scale = inv * (STEP_CONST / float(FIX_ONE) / float(FIX_ONE))
+        if normalize_length:
+            p = pos - 0.5
+            dirs = dirs * interp_linear(self.ior, p)[..., None]
+            p = p - 0.5
+        else:
+            p = pos - 1.0
+        end_pos, end_dir, iters = native.march_float(
+            np.asarray(self.packed), np.asarray(p), np.asarray(dirs),
+            iterations, bend_scale, step_scale,
+            nthreads=int(self.options.max_cpu),
+        )
+        n = end_pos.shape[0]
+        return TraceResult(
+            end_position=jnp.asarray(end_pos + 1.0),
+            end_direction=jnp.asarray(end_dir),
+            end_iteration=jnp.asarray(iters),
+            remaining_light=jnp.full((n,), BRIGHTNESS_MAX, jnp.uint32),
             path=None,
         )
 

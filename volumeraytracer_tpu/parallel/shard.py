@@ -174,7 +174,7 @@ def trace_rays_sharded(
 
 def endpoint_render(
     ior, positions, directions, budget: int, invscale: float, chunk_steps: int,
-    kernel: str = "xla",
+    kernel: str = "auto",
 ):
     """Differentiable forward: preprocess the field, |v|=n-init the rays,
     march, return per-ray endpoints (the reference's output contract —
@@ -183,7 +183,10 @@ def endpoint_render(
     kernel="pallas" routes the march through the brick-walking TPU kernel
     pair (kernels/march_pallas.py forward, kernels/march_bwd.py reverse-replay
     adjoint) — the production fwd+bwd path benched by bench.py; "xla" is the
-    scan-remat fallback (and the 2D path)."""
+    scan-remat fallback (and the 2D path).  The default "auto" picks the
+    kernel pair on TPU for 3-D batches (≙ the reference scheduler's
+    ray-count auto-dispatch, cuda_volume_raytracer.cu:804-810) and XLA
+    everywhere else."""
     packed = build_packed_field(ior)
     dim = positions.shape[-1]
     inv = jnp.full((dim,), invscale, jnp.float32)
@@ -191,6 +194,9 @@ def endpoint_render(
     n0 = interp_linear(ior, pos)
     dirs = directions * n0[..., None]
     pos = pos - 0.5
+    if kernel == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        kernel = "pallas" if (on_tpu and dim == 3) else "xla"
     if kernel == "pallas":
         from ..kernels.march_bwd import march_pallas_diff
 
