@@ -72,12 +72,17 @@ def main():
         end_pos, _ = endpoint_render(f, p, d, BUDGET, 2.0, 64, kernel="pallas")
         return jnp.sum(end_pos[:, 1])
 
-    fwd_bwd = jax.jit(jax.value_and_grad(loss_fn))
+    @jax.jit
+    def fwd_bwd(f, p, d):
+        loss, g = jax.value_and_grad(loss_fn)(f, p, d)
+        # reduce the gradient to a scalar ON DEVICE: pulling the full 256^3
+        # gradient would time the axon host tunnel (~17 MB/s), not the chip
+        return loss, jnp.sum(g * g)
 
     def sync(out):
-        # force completion with a host transfer: on the axon relay platform
-        # block_until_ready can return before execution finishes
-        return float(out[0])
+        # force completion with a (scalar) host transfer: on the axon relay
+        # platform block_until_ready can return before execution finishes
+        return float(out[0]) + float(out[1])
 
     # warmup/compile
     out = fwd_bwd(ior, pos, dirs)

@@ -96,15 +96,19 @@ def main():
             k_steps=k_steps, table=table, nb=nb,
         )
 
+    def run_steps(k_steps):
+        # scalar-reduce on device (see fwd_bwd note on the axon tunnel)
+        out = run(k_steps)
+        return float(jnp.sum(out.end_iteration.astype(jnp.float64)))
+
     best = None
     for k_steps in (8, 16, 32):
         t0 = time.perf_counter()
-        out = sync(run(k_steps))
+        steps = int(run_steps(k_steps))
         t1 = time.perf_counter()
         t2 = time.perf_counter()
-        out = sync(run(k_steps))
+        steps = int(run_steps(k_steps))
         t3 = time.perf_counter()
-        steps = int(np.asarray(out.end_iteration).astype(np.int64).sum())
         gsps = steps / (t3 - t2) / 1e9
         print(f"fwd 256^3 k={k_steps}: compile+run {t1-t0:.1f}s, run {t3-t2:.3f}s, "
               f"{gsps:.3f} G steps/s ({steps/1e6:.0f} M steps)")
@@ -114,6 +118,85 @@ def main():
             best = (k_steps, gsps)
     REPORT["fwd_256_best"] = {"k_steps": best[0], "gsteps_per_s": round(best[1], 4)}
 
+    _flush()
+
+    # ---- backward kernel: hardware gradcheck vs the XLA adjoint ----
+    # (VERDICT r2 #5: run the gradcheck on the chip with interpret=False)
+    from volumeraytracer_tpu.kernels.march_bwd import march_pallas_diff
+
+    budget_g = 96
+
+    def loss_pallas(f):
+        p = build_packed_field(f)
+        res = march_pallas_diff(
+            p, pos, dirs, budget_g, bend_scale=bend, step_scale=step,
+            k_steps=16,
+        )
+        return jnp.sum(res.end_position[:, 1] * 1e-0) + jnp.sum(
+            res.end_direction[:, 0]
+        )
+
+    def loss_xla(f):
+        p = build_packed_field(f)
+        res = march_ops.march_float(
+            p, None, pos, dirs, budget_g, bend_scale=bend, step_scale=step,
+            chunk_steps=16, differentiable=True,
+        )
+        return jnp.sum(res.end_position[:, 1]) + jnp.sum(res.end_direction[:, 0])
+
+    t0 = time.perf_counter()
+    lp, gp = sync(jax.value_and_grad(loss_pallas)(ior))
+    t1 = time.perf_counter()
+    REPORT["bwd_small_compile_s"] = round(t1 - t0, 1)
+    lx, gx = sync(jax.value_and_grad(loss_xla)(ior))
+    gp = np.asarray(gp)
+    gx = np.asarray(gx)
+    scale = np.abs(gx).max()
+    gerr = np.abs(gp - gx).max() / scale
+    lerr = abs(float(lp) - float(lx)) / max(1.0, abs(float(lx)))
+    REPORT["bwd_small_grad_relerr"] = float(gerr)
+    REPORT["bwd_small_loss_relerr"] = float(lerr)
+    REPORT["bwd_small_grad_scale"] = float(scale)
+    bwd_ok = gerr < 5e-2 and lerr < 1e-4
+    REPORT["bwd_small_ok"] = bool(bwd_ok)
+    print(f"bwd small: compile {t1-t0:.1f}s grad_relerr {gerr:.2e} "
+          f"loss_relerr {lerr:.2e} -> {'OK' if bwd_ok else 'FAIL'}")
+    _flush()
+
+    # ---- fwd+bwd throughput at 256^3 (the BENCH protocol, bench.py) ----
+    def loss_b(f, p, d):
+        pk = build_packed_field(f)
+        res = march_pallas_diff(
+            pk, p, d, budget_b, bend_scale=bend, step_scale=step, k_steps=32,
+        )
+        return jnp.sum(res.end_position[:, 1])
+
+    @jax.jit
+    def fwd_bwd(f, p, d):
+        loss, g = jax.value_and_grad(loss_b)(f, p, d)
+        # reduce the gradient on device: fetching the full 256^3 grad would
+        # time the axon tunnel (~17 MB/s), not the chip
+        return loss, jnp.sum(g * g)
+
+    t0 = time.perf_counter()
+    out = fwd_bwd(ior_b, pos_b, dirs_b)
+    _ = float(out[0]); _ = float(out[1])
+    t1 = time.perf_counter()
+    REPORT["fwdbwd_256_compile_s"] = round(t1 - t0, 1)
+    t2 = time.perf_counter()
+    out = fwd_bwd(ior_b, pos_b, dirs_b)
+    _ = float(out[0]); _ = float(out[1])
+    t3 = time.perf_counter()
+    steps = n_rays * budget_b
+    gsps = steps / (t3 - t2) / 1e9
+    REPORT["fwdbwd_256_run_s"] = round(t3 - t2, 4)
+    REPORT["fwdbwd_256_gsteps_per_s"] = round(gsps, 4)
+    print(f"fwd+bwd 256^3: compile {t1-t0:.1f}s run {t3-t2:.3f}s "
+          f"{gsps:.3f} G steps/s")
+    _flush()
+
+
+def _flush():
     with open("benchmarks/tpu_verify.json", "w") as f:
         json.dump(REPORT, f, indent=1)
     print(json.dumps(REPORT))

@@ -89,6 +89,53 @@ def test_scaling(mode):
     assert abs(float(end_iter[1]) - 46718.0) <= 100.0, end_iter
 
 
+def test_scaling_dir_fixed():
+    """The dir_t instantiation of the reference scaling test
+    (cuda_volume_raytracer_test.h:72 runs <ior_t, iorlog_t, dir_t, diff_t>):
+    int16 8.8 directions, tolerance 1e-5 + 1/256 (types.h:46), same pinned
+    46718 ± 100 step count."""
+    ior, start_position, _ = ramp_instance()
+    scene = RaytraceScene(ior)
+    xdir = 0x10 * 0x100  # 0x10 · dir_t unit (cuda_volume_raytracer_test.h:16)
+    start_direction = np.array([[xdir, 0, 0], [-xdir, 0, 0]], np.int16)
+    res = scene.trace_rays(
+        start_position,
+        start_direction,
+        invscale=[2.0, 2.0, 2.0],
+        iterations=1_000_000,
+        mode="fixed",
+        dir_fixed=True,
+    )
+    end_pos = np.asarray(res.end_position).astype(np.uint32)
+    end_dir = np.asarray(res.end_direction)
+    assert end_dir.dtype == np.int16
+    end_iter = np.asarray(res.end_iteration)
+
+    ior_at_end = interpolate_host(ior.astype(np.float64), BOUNDS, end_pos)
+    tol = 1e-5 + 1.0 / 0x100  # cuda_volume_raytracer_test.h:48 + types.h:46
+    for r in range(2):
+        ratio = float(end_dir[r, 0]) / float(start_direction[r, 0])
+        assert ratio == pytest.approx(ior_at_end[r], abs=tol), (
+            f"ray {r}: |v| ratio {ratio} vs n {ior_at_end[r]}"
+        )
+    assert abs(float(end_iter[0]) - 46718.0) <= 100.0, end_iter
+    assert abs(float(end_iter[1]) - 46718.0) <= 100.0, end_iter
+
+
+def test_dir_fixed_normalize_overflow():
+    """|v|=n init overflowing int16 raises the reference's error
+    (image_util.cpp:703-706)."""
+    ior, start_position, _ = ramp_instance()
+    scene = RaytraceScene(ior)
+    # 0x7F00 · n≈2 at the dense end overflows int16
+    start_direction = np.array([[0x7F00, 0, 0], [-0x7F00, 0, 0]], np.int32)
+    with pytest.raises(ValueError, match="Normalize length failed"):
+        scene.trace_rays(
+            start_position, start_direction, invscale=[2.0] * 3,
+            iterations=16, mode="fixed", dir_fixed=True,
+        )
+
+
 def test_path_recording():
     """trace_path records every step (≙ .cu:333,348); endpoints match the
     non-recording trace and the path is back-filled with the end position."""

@@ -29,6 +29,7 @@ from ..ops.interp import interp_fixed, interp_linear
 from ..types import (
     BRIGHTNESS_MAX,
     DIR_PRESCALE_FLOAT,
+    DIR_UNIT_FIXED,
     FIX_HALF,
     FIX_ONE,
     STEP_CONST,
@@ -121,6 +122,7 @@ class RaytraceScene:
         differentiable: bool = False,
         chunk_steps: Optional[int] = None,
         kernel: str = "auto",
+        dir_fixed: bool = False,
     ) -> TraceResult:
         """Trace a batch of rays (≙ RaytraceScene::trace_rays,
         image_util.cpp:645-772).
@@ -129,7 +131,10 @@ class RaytraceScene:
           voxel units (mode="float"), in the *uncropped* grid frame.
         start_direction: (N, dim) float; reference float-direction convention
           (speed s ⇒ |Δpos| ≈ s · invscale² · 0x42000000/0x100000000 voxels
-          per step at n = 1).
+          per step at n = 1).  With ``dir_fixed=True`` (mode="fixed" only):
+          int16 **8.8 fixed-point** values (≙ DirType = dir_t,
+          /root/reference/src/types.h:44-50) — quantized at entry/exit with
+          the reference's 1/256 tolerance contract.
         invscale: per-axis float scale (≙ RayTraceRayInstance::_invscale).
         """
         if invscale is None:
@@ -160,6 +165,17 @@ class RaytraceScene:
         if mode == "fixed":
             start_position = np.asarray(start_position, np.uint32).reshape(-1, self.dim)
             self._validate_fixed(start_position)
+            if dir_fixed:
+                return self._trace_fixed_dir_quantized(
+                    start_position,
+                    np.asarray(start_direction).reshape(-1, self.dim),
+                    tuple(invscale.tolist()),
+                    iterations,
+                    minimum_brightness,
+                    trace_path,
+                    normalize_length,
+                    chunk_steps,
+                )
             return self._trace_fixed(
                 jnp.asarray(start_position),
                 jnp.asarray(np.asarray(start_direction, np.float32)).reshape(-1, self.dim),
@@ -171,6 +187,8 @@ class RaytraceScene:
                 chunk_steps,
             )
         elif mode == "float":
+            if dir_fixed:
+                raise ValueError("dir_fixed requires mode='fixed'")
             pos = jnp.asarray(start_position, jnp.float32).reshape(-1, self.dim)
             dirs = jnp.asarray(start_direction, jnp.float32).reshape(-1, self.dim)
             if kernel not in ("auto", "xla", "pallas", "native"):
@@ -276,6 +294,69 @@ class RaytraceScene:
     def _trace_fixed(self, pos, dirs, invscale, iterations, minimum_brightness, trace_path, normalize_length, chunk_steps):
         fn = self._fixed_fn(invscale, iterations, minimum_brightness, trace_path, normalize_length, chunk_steps)
         return fn(self.packed, self.translucency_cropped, self.ior, pos, dirs)
+
+    def _trace_fixed_dir_quantized(self, pos, dirs, invscale, iterations,
+                                   minimum_brightness, trace_path,
+                                   normalize_length, chunk_steps):
+        """Fixed march with int16 8.8 quantized directions (≙ DirType=dir_t).
+
+        Mirrors the reference exactly (1/256 tolerance contract,
+        /root/reference/src/types.h:44-50):
+          * |v|=n init is *integer*: ``divRoundClosest(dir · ior_16.16,
+            0x10000)`` with round-half-away-from-zero and an int16 overflow
+            check ("Normalize length failed", image_util.cpp:700-707) — done
+            host-side like the reference's OpenMP loop;
+          * the working direction is stored · 0x100 — the same physical
+            magnitude as the float path's value · 0x10000
+            (cuda_volume_raytracer.cu:330-332);
+          * the end direction is divided back by 0x100 and rounded to the
+            nearest int16 (__float2int_rn2 + dir_t cast, .cu:360-363).
+        """
+        d = np.asarray(dirs)
+        if not np.issubdtype(d.dtype, np.integer):
+            # accept float inputs by exact 8.8 quantization at entry
+            d = np.round(np.asarray(d, np.float64) * DIR_UNIT_FIXED)
+        d = d.astype(np.int64)
+        if d.max() > 0x7FFF or d.min() < -0x8000:
+            raise ValueError("start_direction exceeds dir_t (int16 8.8) range")
+        if normalize_length:
+            p1 = pos.astype(np.uint32) - np.uint32(FIX_HALF)
+            ior_here = np.asarray(
+                interp_fixed(self.ior[..., None], jnp.asarray(p1))[..., 0],
+                np.float64,
+            )
+            ior16 = np.round(ior_here * FIX_ONE).astype(np.int64)
+            num = d * ior16[:, None]
+            # divRoundClosest: round half away from zero (image_util.h:35-38)
+            tmp = np.sign(num) * ((np.abs(num) + FIX_ONE // 2) // FIX_ONE)
+            if tmp.max() > 0x7FFF or tmp.min() < -0x8000:
+                raise ValueError(
+                    f"Normalize length failed: -32768<={int(tmp.max())}<=32767"
+                )
+            d = tmp
+        # stored/0x100 is exact in f32 (|stored| < 2^15); the march's
+        # dir_prescale 0x10000 then yields working = stored · 0x100 exactly
+        dirs_f = jnp.asarray(d.astype(np.float32) / np.float32(DIR_UNIT_FIXED))
+        fn = self._fixed_fn(
+            invscale, iterations, minimum_brightness, trace_path,
+            False, chunk_steps,  # normalization already applied above
+        )
+        # both reference variants net-shift −0x10000 (−0x8000 twice when
+        # normalizing, image_util.cpp:692-710; −0x10000 otherwise) — the
+        # normalize_length=False closure applies exactly that
+        res = fn(self.packed, self.translucency_cropped, self.ior, jnp.asarray(pos), dirs_f)
+        stored = (
+            jnp.round(res.end_direction * DIR_UNIT_FIXED)
+            .astype(jnp.int32)
+            .astype(jnp.int16)
+        )
+        return TraceResult(
+            end_position=res.end_position,
+            end_direction=stored,
+            end_iteration=res.end_iteration,
+            remaining_light=res.remaining_light,
+            path=res.path,
+        )
 
     @functools.lru_cache(maxsize=None)
     def _float_fn(self, invscale, iterations, minimum_brightness, trace_path, normalize_length, chunk_steps, differentiable):

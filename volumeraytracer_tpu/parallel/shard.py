@@ -57,13 +57,20 @@ def init_distributed(
         coordinator_address is not None
         or (num_processes is not None and num_processes > 1)
     )
-    if multi and jax.process_count() == 1:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-            **kwargs,
-        )
+    if multi:
+        # NB: nothing may touch the XLA backend before initialize —
+        # jax.process_count()/jax.devices() would pin a single-process
+        # backend; make re-init idempotent instead of probing
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+                **kwargs,
+            )
+        except RuntimeError as e:
+            if "already" not in str(e):
+                raise
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),
