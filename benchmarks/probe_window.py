@@ -106,6 +106,66 @@ def _steps(cache, state, k):
     return jax.lax.fori_loop(0, k, body, state)
 
 
+V12 = 12  # 2x1x1-cell block: 3x2x2 = 12 point views
+R12 = V12 * TCH  # 96 rolled rows
+
+
+def _gather12(brickro_ref, lid, iota, precision):
+    """12-view gather: one (96, PVP)@(PVP, RL) matmul per sublane — still a
+    single M-chunk (96 <= 128), so MXU passes match the 8-view gather."""
+    parts = []
+    for s in range(RS):
+        onehot = (iota == lid[s: s + 1, :]).astype(jnp.float32)
+        parts.append(
+            jax.lax.dot_general(
+                brickro_ref[s, :R12], onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+        )
+    return jnp.stack(parts, axis=1)  # (R12, RS, RL)
+
+
+def _steps12(cache, state, k):
+    """March step with a 2-cell x block: per-corner row select by the lane's
+    local cell bit cx (one extra where per corner-channel)."""
+    px, py, pz, dx, dy, dz, rem = state
+
+    def body(_, c):
+        px, py, pz, dx, dy, dz, rem = c
+        fx = px - jnp.floor(px / 2.0) * 2.0  # stand-in for px - basex in [0,2)
+        fy, fz = py - jnp.floor(py), pz - jnp.floor(pz)
+        cx = fx >= 1.0
+        fxl = jnp.where(cx, fx - 1.0, fx)
+        gx, gy, gz = 1.0 - fxl, 1.0 - fy, 1.0 - fz
+        wts = (gx * gy * gz, gx * gy * fz, gx * fy * gz, gx * fy * fz,
+               fxl * gy * gz, fxl * gy * fz, fxl * fy * gz, fxl * fy * fz)
+        interp = [jnp.zeros((RS, RL), jnp.float32) for _ in range(4)]
+        for o in range(8):
+            dxo, dyo, dzo = o >> 2, (o >> 1) & 1, o & 1
+            v0 = ((dxo * 2 + dyo) * 2 + dzo)        # view (dxo, dyo, dzo)
+            v1 = (((dxo + 1) * 2 + dyo) * 2 + dzo)  # view (dxo+1, dyo, dzo)
+            for c_ in range(4):
+                row = jnp.where(cx, cache[v1 * TCH + c_], cache[v0 * TCH + c_])
+                interp[c_] = interp[c_] + wts[o] * row
+        ok = (interp[3] <= 0.0) & (rem > 0)
+        ndx = dx + interp[0] * 3e-5
+        ndy = dy + interp[1] * 3e-5
+        ndz = dz + interp[2] * 3e-5
+        ilen = 1.0 / (ndx * ndx + ndy * ndy + ndz * ndz)
+        px = jnp.where(ok, px + ndx * 0.03 * ilen, px)
+        py = jnp.where(ok, py + ndy * 0.03 * ilen, py)
+        pz = jnp.where(ok, pz + ndz * 0.03 * ilen, pz)
+        dx = jnp.where(ok, ndx, dx)
+        dy = jnp.where(ok, ndy, dy)
+        dz = jnp.where(ok, ndz, dz)
+        rem = rem - ok.astype(jnp.int32)
+        return px, py, pz, dx, dy, dz, rem
+
+    return jax.lax.fori_loop(0, k, body, state)
+
+
 def make_variant(reps, do_scalar, do_roll, do_gather, do_steps):
     def kern(ids_ref, px_ref, lid_ref, out_ref, brick_ref, brickro_ref):
         iota = jax.lax.broadcasted_iota(jnp.int32, (PVP, RL), 0)
@@ -125,12 +185,17 @@ def make_variant(reps, do_scalar, do_roll, do_gather, do_steps):
                     brickro_ref[0, o * TCH: (o + 1) * TCH] = pltpu.roll(
                         b, (PVP - CORNER_OFF[o]) % PVP, 1
                     )
-            if do_gather:
+            if do_gather == 12:
+                cache = _gather12(brickro_ref, lid_ref[:] + (w % 2), iota,
+                                  jax.lax.Precision.HIGHEST)
+            elif do_gather:
                 cache = _gather(brickro_ref, lid_ref[:] + (w % 2), iota,
                                 jax.lax.Precision.HIGHEST)
             else:
                 cache = jnp.zeros((RCH, RS, RL), jnp.float32) + jnp.float32(w)
-            if do_steps:
+            if do_steps == 12:
+                state = _steps12(cache, state, K_STEPS)
+            elif do_steps:
                 state = _steps(cache, state, K_STEPS)
             else:
                 state = tuple(s + cache[0, 0, 0].astype(s.dtype) for s in state)
@@ -170,6 +235,9 @@ def main():
         ("C onehot+8 gathers", (False, False, True, False)),
         ("D 16-step body", (False, False, False, True)),
         ("E window A+C+D", (True, False, True, True)),
+        ("C12 12-view gather", (False, False, 12, False)),
+        ("D12 16-step 2x1x1 body", (False, False, False, 12)),
+        ("E12 window A+C12+D12", (True, False, 12, 12)),
     ]:
         results[name] = slope(lambda reps, fl=flags: make_variant(reps, *fl), r1, r2, name)
     print({k: round(v * 1e6, 3) for k, v in results.items()})

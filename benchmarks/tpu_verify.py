@@ -99,10 +99,16 @@ def main():
     def run_steps(k_steps):
         # scalar-reduce on device (see fwd_bwd note on the axon tunnel)
         out = run(k_steps)
-        return float(jnp.sum(out.end_iteration.astype(jnp.float64)))
+        steps = float(jnp.sum(out.end_iteration.astype(jnp.float64)))
+        # window-step efficiency: executed ray-steps / (windows × k × 1024)
+        wsum = float(jnp.sum(out.windows_used.astype(jnp.float64)))
+        REPORT[f"fwd_256_k{k_steps}_window_eff"] = round(
+            steps / max(wsum * k_steps * 1024, 1.0), 4
+        )
+        return steps
 
     best = None
-    for k_steps in (8, 16, 32):
+    for k_steps in (16, 32, 64):
         t0 = time.perf_counter()
         steps = int(run_steps(k_steps))
         t1 = time.perf_counter()
