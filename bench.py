@@ -72,28 +72,33 @@ def main():
         end_pos, _ = endpoint_render(f, p, d, BUDGET, 2.0, 64, kernel="pallas")
         return jnp.sum(end_pos[:, 1])
 
+    # a real SGD loop: each step differentiates through preprocessing +
+    # table build + fused fwd/bwd march + gradient fold, then updates the
+    # field (steps are data-dependent — nothing can be reused across them).
+    # Scanning STEPS inside ONE jit measures device throughput: the axon
+    # relay charges a ~40-100 ms floor per dispatch, which a per-step
+    # dispatch would bill against the chip.
+    STEPS_PER_CALL = 4
+
     @jax.jit
-    def fwd_bwd(f, p, d):
-        loss, g = jax.value_and_grad(loss_fn)(f, p, d)
-        # reduce the gradient to a scalar ON DEVICE: pulling the full 256^3
-        # gradient would time the axon host tunnel (~17 MB/s), not the chip
-        return loss, jnp.sum(g * g)
+    def train(f, p, d):
+        def body(f, _):
+            loss, g = jax.value_and_grad(loss_fn)(f, p, d)
+            return f - 1e-6 * g, loss
+        f, losses = jax.lax.scan(body, f, None, length=STEPS_PER_CALL)
+        return losses
 
     def sync(out):
         # force completion with a (scalar) host transfer: on the axon relay
         # platform block_until_ready can return before execution finishes
-        return float(out[0]) + float(out[1])
+        return float(jnp.sum(out))
 
     # warmup/compile
-    out = fwd_bwd(ior, pos, dirs)
-    sync(out)
+    sync(train(ior, pos, dirs))
 
-    reps = 2
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fwd_bwd(ior, pos, dirs)
-        sync(out)
-    dt = (time.perf_counter() - t0) / reps
+    sync(train(ior, pos, dirs))
+    dt = (time.perf_counter() - t0) / STEPS_PER_CALL
 
     steps = n_rays * BUDGET  # fixed budget: every ray marches to exhaustion
     steps_per_s = steps / dt

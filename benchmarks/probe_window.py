@@ -213,7 +213,8 @@ def make_variant(reps, do_scalar, do_roll, do_gather, do_steps):
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((RS, TCH, PVP), jnp.float32),
-                pltpu.VMEM((RS, RCH, PVP), jnp.float32),
+                # R12 (=96) rows for the 12-view variants > RCH (=64)
+                pltpu.VMEM((RS, max(RCH, R12), PVP), jnp.float32),
             ],
         )(ids, px, lid)
 
@@ -221,7 +222,7 @@ def make_variant(reps, do_scalar, do_roll, do_gather, do_steps):
     px = jnp.asarray(np.random.rand(RS, RL) * 100 + 3, jnp.float32)
     lid = jnp.asarray(np.random.randint(0, 1200, (RS, RL)), jnp.int32)
     b0 = jnp.asarray(np.random.rand(RS, TCH, PVP), jnp.float32)
-    r0 = jnp.asarray(np.random.rand(RS, RCH, PVP), jnp.float32)
+    r0 = jnp.asarray(np.random.rand(RS, max(RCH, R12), PVP), jnp.float32)
     return lambda: f(ids, px, lid, b0, r0)
 
 

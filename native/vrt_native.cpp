@@ -153,6 +153,132 @@ int vrt_solve_harmonic(double* values, const double* divisor,
     return it;
 }
 
+// ---------------------------------------------------------------------------
+// Scene-level C API — the second-language binding (≙ the reference's JNI
+// entry points new_instance / trace_rays / delete_instance,
+// java_binding.cpp:179-241,248-287,294-304): build the scene ONCE
+// (preprocessing: log-index, {14,47,162}/0x100 smoothed gradients, opacity
+// channel — RaytraceScene ctor, image_util.cpp:430-643 float semantics),
+// then trace many ray batches in place.  Pure C ABI: callable from C, C++,
+// Java (JNI/Panama), C#, Rust, ... — see vrt_native.h.
+
+struct vrt_scene {
+    int X, Y, Z;    // ior grid bounds
+    float* ior;     // copy of the (X, Y, Z) grid (|v| = n initialisation)
+    float* packed;  // (X-2, Y-2, Z-2, 4) preprocessed field
+};
+
+// 3x3 smoothing stamp perpendicular to the derivative axis and total
+// |stencil| weight 2*sum = 812 (standart_3d_stamp, image_util.cpp:421-425)
+static const float VRT_STAMP[3][3] = {
+    {14.f, 47.f, 14.f}, {47.f, 162.f, 47.f}, {14.f, 47.f, 14.f}};
+static const double VRT_STAMP_W = 812.0;
+
+vrt_scene* vrt_scene_new(const float* ior, int X, int Y, int Z,
+                         const uint32_t* translucency) {
+    if (!ior || X < 3 || Y < 3 || Z < 3) return nullptr;
+    const long nvox = (long)X * Y * Z;
+    for (long i = 0; i < nvox; ++i)
+        if (!(ior[i] > 0.f)) return nullptr;  // log() domain (fields.py)
+
+    vrt_scene* s = new vrt_scene;
+    s->X = X; s->Y = Y; s->Z = Z;
+    s->ior = new float[nvox];
+    std::memcpy(s->ior, ior, (size_t)nvox * sizeof(float));
+
+    // ior_log = log(ior) * 0x420000 (image_util.cpp:611-614)
+    float* L = new float[nvox];
+    for (long i = 0; i < nvox; ++i)
+        L[i] = std::log(ior[i]) * 4325376.0f;
+
+    const int OX = X - 2, OY = Y - 2, OZ = Z - 2;
+    s->packed = new float[(long)OX * OY * OZ * 4];
+    const long sx = (long)Y * Z, sy = Z;
+    const double div = VRT_STAMP_W * 256.0;  // weight * 0x100
+
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+    for (int i = 0; i < OX; ++i)
+        for (int j = 0; j < OY; ++j)
+            for (int k = 0; k < OZ; ++k) {
+                float* out = s->packed + (((long)i * OY + j) * OZ + k) * 4;
+                for (int a = 0; a < 3; ++a) {
+                    // perp axes in ascending order (ops/fields.py _axis_diff)
+                    int ea[3] = {0, 0, 0};
+                    ea[a] = 1;
+                    int u = (a == 0) ? 1 : 0, v = (a == 2) ? 1 : 2;
+                    int eu[3] = {0, 0, 0}, ev[3] = {0, 0, 0};
+                    eu[u] = 1; ev[v] = 1;
+                    float acc = 0.f;
+                    for (int p = 0; p < 3; ++p)
+                        for (int q = 0; q < 3; ++q) {
+                            const long xx = i + 2 * ea[0] + p * eu[0] + q * ev[0];
+                            const long yy = j + 2 * ea[1] + p * eu[1] + q * ev[1];
+                            const long zz = k + 2 * ea[2] + p * eu[2] + q * ev[2];
+                            const long x0 = i + p * eu[0] + q * ev[0];
+                            const long y0 = j + p * eu[1] + q * ev[1];
+                            const long z0 = k + p * eu[2] + q * ev[2];
+                            acc += VRT_STAMP[p][q] *
+                                   (L[xx * sx + yy * sy + zz] -
+                                    L[x0 * sx + y0 * sy + z0]);
+                        }
+                    out[a] = (float)(acc / div);
+                }
+                // opacity = trunc((0x7FFFFFFF - tr) / 0x10000)
+                // (cuda_volume_raytracer.cu:654-658), translucency cropped
+                // by one voxel per side (image_util.cpp:517-521)
+                uint32_t tr = 0xFFFFFFFFu;
+                if (translucency)
+                    tr = translucency[((long)(i + 1) * Y + (j + 1)) * Z + (k + 1)];
+                int32_t q = 0x7FFF - (int32_t)(tr >> 16);
+                const int32_t r = 0xFFFF - (int32_t)(tr & 0xFFFFu);
+                if (q < 0 && r > 0) ++q;  // trunc-toward-zero
+                out[3] = (float)q;
+            }
+    delete[] L;
+    return s;
+}
+
+void vrt_scene_trace(const vrt_scene* s, float* pos, float* dir,
+                     uint32_t* iters, int n_rays, uint32_t budget,
+                     const float* invscale, int normalize_length,
+                     int nthreads) {
+    float bend[3], step[3];
+    for (int a = 0; a < 3; ++a) {
+        bend[a] = invscale[a] / 65536.0f;
+        step[a] = (float)((double)invscale[a] * (1107296256.0 / 65536.0 / 65536.0));
+    }
+    // pre-shift −0.5, |v| = n init, −0.5 again (image_util.cpp:692-710)
+    for (int i = 0; i < n_rays; ++i) {
+        float* p = pos + 3 * i;
+        if (normalize_length) {
+            p[0] -= 0.5f; p[1] -= 0.5f; p[2] -= 0.5f;
+            float n0;
+            interp4(s->ior, s->X, s->Y, s->Z, 1, p[0], p[1], p[2], &n0);
+            dir[3 * i] *= n0; dir[3 * i + 1] *= n0; dir[3 * i + 2] *= n0;
+            p[0] -= 0.5f; p[1] -= 0.5f; p[2] -= 0.5f;
+        } else {
+            p[0] -= 1.0f; p[1] -= 1.0f; p[2] -= 1.0f;
+        }
+    }
+    vrt_march_float(s->packed, s->X - 2, s->Y - 2, s->Z - 2, pos, dir, iters,
+                    n_rays, budget, bend, step, nthreads);
+    // post-shift +1 voxel (image_util.cpp:770-771)
+    for (int i = 0; i < 3 * n_rays; ++i) pos[i] += 1.0f;
+}
+
+void vrt_scene_bounds(const vrt_scene* s, int* bounds_out) {
+    bounds_out[0] = s->X; bounds_out[1] = s->Y; bounds_out[2] = s->Z;
+}
+
+void vrt_scene_free(vrt_scene* s) {
+    if (!s) return;
+    delete[] s->ior;
+    delete[] s->packed;
+    delete s;
+}
+
 // SoA -> AoS ray packing (≙ fill_struct, cuda_volume_raytracer.cu:468-488):
 // out[i] = {pos[3], dir[3], brightness, iterations} as 8 floats/uints.
 void vrt_pack_rays(const float* pos, const float* dir,

@@ -58,3 +58,51 @@ def test_native_harmonic_matches_jax():
     out, it = native.solve_harmonic(vals, is_fixed=fixed, max_iterations=5000, max_error=1e-14)
     assert it > 10
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_scene_binding_matches_python_scene():
+    """The scene-level C ABI (the second-language binding,
+    native/vrt_native.h) must reproduce the Python RaytraceScene float
+    path end-to-end: preprocessing + |v|=n init + march + shifts."""
+    from volumeraytracer_tpu import RaytraceScene
+
+    rng = np.random.default_rng(3)
+    ior = (1.0 + 0.3 * rng.random((24, 12, 12))).astype(np.float32)
+    pos = np.array([[2.0, 5.0, 5.0], [1.5, 7.0, 4.0]], np.float32)
+    dirs = np.array([[16.0, 0.5, -0.25], [16.0, 0.0, 0.0]], np.float32)
+
+    sc = RaytraceScene(ior)
+    ref = sc.trace_rays(pos, dirs, invscale=[2.0] * 3, iterations=2000,
+                        mode="float")
+
+    ns = native.NativeScene(ior)
+    assert ns.bounds() == ior.shape
+    epos, edir, iters = ns.trace_rays(pos, dirs, budget=2000,
+                                      invscale=[2.0] * 3)
+    ns.close()
+
+    np.testing.assert_allclose(
+        epos, np.asarray(ref.end_position), rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(
+        edir, np.asarray(ref.end_direction), rtol=1e-4, atol=2e-3)
+    np.testing.assert_array_equal(iters, np.asarray(ref.end_iteration))
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_scene_binding_opacity_and_errors():
+    ior = np.full((8, 8, 8), 1.2, np.float32)
+    tr = np.full((8, 8, 8), 0xFFFFFFFF, np.uint32)
+    tr[5] = 0  # opaque plane
+    ns = native.NativeScene(ior, tr)
+    pos = np.array([[1.5, 4.0, 4.0]], np.float32)
+    dirs = np.array([[8.0, 0.0, 0.0]], np.float32)
+    epos, _, iters = ns.trace_rays(pos, dirs, budget=100000, invscale=[2.0] * 3)
+    ns.close()
+    assert epos[0, 0] < 5.5  # stopped at the opaque plane, not the far wall
+    assert 0 < iters[0] < 100000
+
+    with pytest.raises(ValueError):
+        native.NativeScene(np.zeros((4, 4, 4), np.float32))  # ior <= 0
+    with pytest.raises(ValueError):
+        native.NativeScene(np.ones((2, 4, 4), np.float32))  # bounds < 3

@@ -50,11 +50,27 @@ def test_brick_table_matches_packed():
             for dy_ in (0, 1):
                 for dz_ in (0, 1):
                     jj = j + (dx_ * PY + dy_) * PZ + dz_
-                    np.testing.assert_array_equal(
-                        table[b, :4, jj], p[x + dx_, y + dy_, z + dz_]
+                    v = p[x + dx_, y + dy_, z + dz_]
+                    # gradient channels are stored as a bf16 hi/lo split
+                    # (rows 0-2 + 5-7); hi must be exactly the bf16
+                    # rounding (so a DEFAULT-precision MXU pass is
+                    # lossless) and hi + lo must reconstruct f32 to
+                    # ~2^-17 relative
+                    hi = table[b, :3, jj]
+                    lo = table[b, 5:8, jj]
+                    expect_hi = np.asarray(
+                        jnp.asarray(v[:3]).astype(jnp.bfloat16).astype(jnp.float32)
                     )
+                    np.testing.assert_array_equal(hi, expect_hi)
+                    np.testing.assert_allclose(
+                        hi + lo, v[:3], rtol=1e-5, atol=1e-5 * max(1.0, np.abs(v).max())
+                    )
+                    # opacity is hi-only and must be sign-exact
+                    op = table[b, 3, jj]
+                    assert np.sign(op) == np.sign(v[3])
+                    np.testing.assert_allclose(op, v[3], rtol=8e-3, atol=1e-7)
         expect_absorb = (0xFFFFFFFF - float(np.asarray(trc)[x, y, z])) / 0xFFFFFFFF
-        np.testing.assert_allclose(table[b, 4, j], expect_absorb, atol=1e-7)
+        np.testing.assert_allclose(table[b, 4, j], expect_absorb, rtol=8e-3, atol=1e-7)
         assert (table[b, :, PV:] == 0).all()
 
 
@@ -162,9 +178,14 @@ def test_pallas_march_absorption_matches_jnp():
         np.asarray(ref.remaining_light).astype(np.float64),
         rtol=2e-2,
     )
+    # the table stores the absorption fraction bf16-rounded (hi-only row, see
+    # march_pallas TCH layout): a 2^-8-relative absorption difference can
+    # shift the dark exit by one step, moving the endpoint one step length
+    # (~0.032 voxels here) — tolerance = one step, anchored by the atol=1
+    # iteration check above
     np.testing.assert_allclose(
         np.asarray(res.end_position), np.asarray(ref.end_position),
-        rtol=0, atol=2e-3,
+        rtol=0, atol=5e-2,
     )
 
 

@@ -66,6 +66,29 @@ def test_render_image_shapes_and_physics():
     )
 
 
+def test_render_scalar_sigma_and_emission():
+    """Scalars are accepted as uniform-medium shorthand and must equal the
+    same render with explicitly constant fields."""
+    ior, _, _ = _scene()
+    packed = build_packed_field(ior)
+    cam = _camera()
+    kw = dict(budget=96, invscale=2.0, background=0.0)
+    a = render_image(packed, ior, cam, sigma=0.02, emission=0.5, **kw)
+    b = render_image(
+        packed, ior, cam,
+        sigma=jnp.full(packed.shape[:3], 0.02, jnp.float32),
+        emission=jnp.full(packed.shape[:3], 0.5, jnp.float32),
+        **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["image"]), np.asarray(b["image"]), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["transmittance"]), np.asarray(b["transmittance"]),
+        rtol=1e-6, atol=1e-7,
+    )
+
+
 def test_render_multichannel_emission():
     ior, sigma, emission = _scene()
     packed = build_packed_field(ior)

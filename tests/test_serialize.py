@@ -38,6 +38,17 @@ def test_npz_roundtrip(tmp_path):
     assert back == inst
 
 
+def test_npz_roundtrip_non_npz_suffix(tmp_path):
+    """np.savez appends ".npz" to unknown suffixes when given a path;
+    save_instance must write the EXACT path (regression: save to x.vrt
+    produced x.vrt.npz and load_instance(x.vrt) failed)."""
+    inst = tiny_instance()
+    p = tmp_path / "inst.vrt"
+    ser.save_instance(p, inst)
+    assert p.exists() and not (tmp_path / "inst.vrt.npz").exists()
+    assert ser.load_instance(p) == inst
+
+
 def test_binary_roundtrip():
     inst = tiny_instance()
     back = ser.loads_binary(ser.dumps_binary(inst))

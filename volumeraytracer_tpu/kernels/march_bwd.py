@@ -62,7 +62,9 @@ from .march_pallas import (
     BZ,
     CORNER_OFF,
     DEAD_ID,
+    LCH,
     NCH,
+    NLO,
     PV,
     PVP,
     PX,
@@ -184,45 +186,56 @@ def _bwd_kernel(
         cbz = jnp.clip(fpz.astype(jnp.int32) // BZ, 0, nbz - 1)
         ids = (cbx * nby + cby) * nbz + cbz
         ids = jnp.where(live, ids, DEAD_ID)
-        curs = [jnp.min(ids[s : s + 1, :]) for s in range(RS)]  # scalars
+        # ONE lane-reduce + ONE any-changed scalar gate (see march_pallas):
+        # scalar extracts and conditional regions only on switch windows.
+        cur_min = jnp.min(ids, axis=1, keepdims=True)  # (8, 1) vector
+        changed_v = cur_min != prev_ids
 
         # flush each switching sublane's grad accumulator (serialized RMW),
-        # then start all changed forward-brick loads overlapped, then wait
-        for s in range(RS):
-            @pl.when((curs[s] != prev_ids[s]) & (prev_ids[s] >= 0))
-            def _(s=s):
-                _flush(s, prev_ids[s])
-        for s in range(RS):
-            @pl.when((curs[s] != prev_ids[s]) & (curs[s] != DEAD_ID))
-            def _(s=s):
-                pltpu.make_async_copy(
-                    table_ref.at[pl.ds(curs[s], 1)],
-                    brick_ref.at[pl.ds(s, 1)],
-                    dma_sem.at[s],
-                ).start()
-        for s in range(RS):
-            @pl.when((curs[s] != prev_ids[s]) & (curs[s] != DEAD_ID))
-            def _(s=s):
-                pltpu.make_async_copy(
-                    table_ref.at[pl.ds(curs[s], 1)],
-                    brick_ref.at[pl.ds(s, 1)],
-                    dma_sem.at[s],
-                ).wait()
-                b = brick_ref[s]
-                for o in range(8):
-                    # corner views by lane roll (see march_pallas)
-                    # pltpu.roll requires a non-negative shift:
-                    # roll(x, PVP - k) == roll(x, -k) on a PVP-circle
-                    brickro_ref[s, o * TCH : (o + 1) * TCH] = pltpu.roll(
-                        b, (PVP - CORNER_OFF[o]) % PVP, 1
-                    )
-        new_ids = tuple(
-            jnp.where(curs[s] != DEAD_ID, curs[s], prev_ids[s]) for s in range(RS)
-        )
+        # then start all changed forward-brick loads overlapped, then wait.
+        # prev adopts cur_min UNCONDITIONALLY below (including DEAD): a
+        # sublane whose rays all finished flushes exactly once — the old
+        # keep-prev scheme re-flushed a zeroed accumulator by RMW DMA on
+        # EVERY remaining window of the tile.
+        @pl.when(jnp.any(changed_v))
+        def _():
+            curs = [cur_min[s, 0] for s in range(RS)]
+            prevs = [prev_ids[s, 0] for s in range(RS)]
+            for s in range(RS):
+                @pl.when(
+                    (curs[s] != prevs[s])
+                    & (prevs[s] >= 0)
+                    & (prevs[s] != DEAD_ID)
+                )
+                def _(s=s):
+                    _flush(s, prevs[s])
+            for s in range(RS):
+                @pl.when((curs[s] != prevs[s]) & (curs[s] != DEAD_ID))
+                def _(s=s):
+                    pltpu.make_async_copy(
+                        table_ref.at[pl.ds(curs[s], 1)],
+                        brick_ref.at[pl.ds(s, 1)],
+                        dma_sem.at[s],
+                    ).start()
+            for s in range(RS):
+                @pl.when((curs[s] != prevs[s]) & (curs[s] != DEAD_ID))
+                def _(s=s):
+                    pltpu.make_async_copy(
+                        table_ref.at[pl.ds(curs[s], 1)],
+                        brick_ref.at[pl.ds(s, 1)],
+                        dma_sem.at[s],
+                    ).wait()
+                    b = brick_ref[s]
+                    for o in range(8):
+                        # corner views by lane roll (see march_pallas)
+                        # pltpu.roll requires a non-negative shift:
+                        # roll(x, PVP - k) == roll(x, -k) on a PVP-circle
+                        brickro_ref[s, o * TCH : (o + 1) * TCH] = pltpu.roll(
+                            b, (PVP - CORNER_OFF[o]) % PVP, 1
+                        )
+        new_ids = cur_min  # (8, 1); DEAD adopted — its flush already ran
 
-        cur_col = jnp.concatenate(
-            [jnp.full((1, RL), 1, jnp.int32) * curs[s] for s in range(RS)], axis=0
-        )
+        cur_col = jnp.broadcast_to(cur_min, (RS, RL))
         in_cur = live & (ids == cur_col)
 
         # local cell id inside each sublane's brick (valid for in_cur lanes)
@@ -252,6 +265,13 @@ def _bwd_kernel(
                 )
             )  # (RCH, RL)
         cache = jnp.stack(parts, axis=1)  # (RCH, RS, RL)
+
+        # combine the bf16-split gradient rows once per window (hi + lo; see
+        # march_pallas TCH layout) — the step loop reads 3 rows per corner
+        chv = [
+            [cache[o * TCH + c] + cache[o * TCH + LCH + c] for c in range(NLO)]
+            for o in range(8)
+        ]
 
         basex, basey, basez = fpx, fpy, fpz
         evaluable_w = in_cur  # already masked by live
@@ -292,9 +312,9 @@ def _bwd_kernel(
             g1 = zero
             g2 = zero
             for o in range(8):
-                g0 = g0 + wts[o] * cache[o * TCH + 0]
-                g1 = g1 + wts[o] * cache[o * TCH + 1]
-                g2 = g2 + wts[o] * cache[o * TCH + 2]
+                g0 = g0 + wts[o] * chv[o][0]
+                g1 = g1 + wts[o] * chv[o][1]
+                g2 = g2 + wts[o] * chv[o][2]
 
             # reconstruct v_k (pre-bend direction)
             nvx = vx - g0 * ex
@@ -319,9 +339,9 @@ def _bwd_kernel(
             ndC = list(dC)
             for o in range(8):
                 m = (
-                    cache[o * TCH + 0] * h0
-                    + cache[o * TCH + 1] * h1
-                    + cache[o * TCH + 2] * h2
+                    chv[o][0] * h0
+                    + chv[o][1] * h1
+                    + chv[o][2] * h2
                 )
                 Gx = Gx + dwx[o] * m
                 Gy = Gy + dwy[o] * m
@@ -365,8 +385,22 @@ def _bwd_kernel(
         drows = jnp.stack(rows, axis=0)  # (GROWS, RS, RL)
         for s in range(RS):
             onehot = (iota == lid[s : s + 1, :]).astype(jnp.float32)
+            # the gradient rows are arbitrary f32 (NOT bf16-representable
+            # like the forward table), so a single DEFAULT-precision pass
+            # would round them to 2^-8: split hi/lo at runtime — two
+            # single-pass dots reconstruct ~2^-17, still cheaper than one
+            # HIGHEST multi-pass dot
+            d = drows[:, s, :]
+            dhi = d.astype(jnp.bfloat16).astype(jnp.float32)
+            dlo = d - dhi
             contrib = jax.lax.dot_general(
-                drows[:, s, :],
+                dhi,
+                onehot,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            ) + jax.lax.dot_general(
+                dlo,
                 onehot,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -377,12 +411,13 @@ def _bwd_kernel(
         return w + 1, new_ids, tuple(state)
 
     w, last_ids, state = jax.lax.while_loop(
-        cond, window_body, (jnp.int32(0), (jnp.int32(-1),) * RS, state0)
+        cond, window_body, (jnp.int32(0), jnp.full((RS, 1), -1, jnp.int32), state0)
     )
     for s in range(RS):
-        @pl.when(last_ids[s] >= 0)
-        def _(s=s):
-            _flush(s, last_ids[s])
+        last_s = last_ids[s, 0]
+        @pl.when((last_s >= 0) & (last_s != DEAD_ID))
+        def _(s=s, last_s=last_s):
+            _flush(s, last_s)
 
     (px, py, pz, vx, vy, vz, ax, ay, az, bx, by, bz, rrem) = state
     oax_ref[:] = ax
@@ -457,52 +492,54 @@ def _bwd_call(
     )
 
 
+def _overlap_add(w: jax.Array, axis: int, B: int) -> jax.Array:
+    """(…, N, B+1, …) → (…, N·B+1, …): overlap-add out[n·B+j] += w[n, j],
+    the exact adjoint of ``march_pallas._overlap_windows`` — built DENSELY:
+    the main body is a reshape of w[…, :B] and the +1 halo plane is the same
+    values shifted by B and added, no scatter (XLA TPU scatters with
+    duplicated indices serialize)."""
+    N = w.shape[axis]
+    main = jax.lax.slice_in_dim(w, 0, B, axis=axis + 1)
+    shp = list(w.shape)
+    shp[axis : axis + 2] = [N * B]
+    main = main.reshape(shp)  # (…, N·B, …)
+    pad = [(0, 0)] * main.ndim
+    pad[axis] = (0, 1)
+    main = jnp.pad(main, pad)  # (…, N·B+1, …)
+    halo = jax.lax.slice_in_dim(w, B, B + 1, axis=axis + 1)  # (…, N, 1, …)
+    pad2 = [(0, 0)] * w.ndim
+    pad2[axis + 1] = (0, B - 1)
+    halo = jnp.pad(halo, pad2).reshape(shp)  # value n at index n·B
+    pad3 = [(0, 0)] * main.ndim
+    pad3[axis] = (B, 0)
+    halo = jax.lax.slice_in_dim(
+        jnp.pad(halo, pad3), 0, N * B + 1, axis=axis
+    )  # value n at index n·B + B
+    return main + halo
+
+
 def fold_brickmajor_grads(gtable: jax.Array, packed_shape, nb) -> jax.Array:
     """Brick-major point-grad table → gradient of the packed field.
 
     Inverse of ``build_brick_table``'s addressing: un-brick the (NB, GCH,
-    PVP) point grads and scatter-add the overlapping +1 halo planes back onto
-    the global points they replicate (each point is stored by up to 8
-    adjacent bricks).  Processed one x-row of bricks at a time (mirrors
-    ``_build_brick_table_jit``) to bound the small-minor relayout
-    intermediates — which are ~8× smaller than the round-1 corner-duplicated
-    design's."""
+    PVP) point grads and overlap-add the +1 halo planes back onto the global
+    points they replicate (each point is stored by up to 8 adjacent bricks).
+    Fully dense (``_overlap_add`` — reshape + shifted add per axis); the old
+    ``.at[idx].add`` scatter formulation serialized on TPU."""
     X, Y, Z, C = packed_shape
     nbx, nby, nbz = nb
-    CY, CZ = nby * BY, nbz * BZ
-    acc0 = jnp.zeros((nbx * BX + 1, CY + 1, CZ + 1, NCH), jnp.float32)
-    g_rows = gtable.reshape(nbx, nby * nbz, GCH, PVP)
-    iy = jnp.asarray(
-        (np.arange(nby)[:, None] * BY + np.arange(PY)[None, :]).ravel()
-    )
-    iz = jnp.asarray(
-        (np.arange(nbz)[:, None] * BZ + np.arange(PZ)[None, :]).ravel()
-    )
-
-    def slab(bx, acc):
-        g = g_rows[bx][:, :, :PV].reshape(nby, nbz, GCH, PX, PY, PZ)
-        g = g.transpose(3, 0, 4, 1, 5, 2)  # (PX, nby, PY, nbz, PZ, GCH)
-        g = g.reshape(PX, nby * PY, nbz * PZ, GCH)
-        # scatter-add the overlapping windows (duplicate indices sum)
-        t = jnp.zeros((PX, nby * PY, CZ + 1, GCH), jnp.float32)
-        t = t.at[:, :, iz].add(g)
-        contrib = jnp.zeros((PX, CY + 1, CZ + 1, GCH), jnp.float32)
-        contrib = contrib.at[:, iy].add(t)
-        cur = jax.lax.dynamic_slice(
-            acc, (bx * BX, 0, 0, 0), (PX, CY + 1, CZ + 1, NCH)
-        )
-        return jax.lax.dynamic_update_slice(
-            acc, cur + contrib[..., :NCH], (bx * BX, 0, 0, 0)
-        )
-
-    acc = jax.lax.fori_loop(0, nbx, slab, acc0)
-    return acc[:X, :Y, :Z]
+    g = gtable[:, :NCH, :PV].reshape(nbx, nby, nbz, NCH, PX, PY, PZ)
+    g = g.transpose(0, 4, 1, 5, 2, 6, 3)  # (nbx, PX, nby, PY, nbz, PZ, NCH)
+    g = _overlap_add(g, 4, BZ)  # (nbx, PX, nby, PY, CZ+1, NCH)
+    g = _overlap_add(g, 2, BY)  # (nbx, PX, CY+1, CZ+1, NCH)
+    g = _overlap_add(g, 0, BX)  # (CX+1, CY+1, CZ+1, NCH)
+    return g[:X, :Y, :Z]
 
 
 def _bwd_impl(
     table, nb, end_pos, end_dir, nexec, d_pos, d_dir,
     *, bend, step, k_steps, max_windows, interpret, budget,
-    precision=jax.lax.Precision.HIGHEST,
+    precision=jax.lax.Precision.DEFAULT,
 ):
     """Run the adjoint kernel; returns (d_table_folded→packed via caller,
     d_pos0, d_dir0, recon_pos, windows_used).  ``nexec`` = executed steps."""

@@ -69,13 +69,21 @@ BV = BX * BY * BZ  # cells per brick
 PX, PY, PZ = BX + 1, BY + 1, BZ + 1
 PV = PX * PY * PZ  # 1377 points
 PVP = 1408  # PV padded to a lane multiple (11 × 128)
-# Table channel STRIDE.  5 channels are live (dx, dy, dz, opacity,
-# absorption); rows 5-7 are zero padding so every HBM slice
-# ``table[b]`` = (1, TCH, PVP) is aligned to the f32 8-sublane tile —
-# Mosaic rejects second-minor DMA extents not divisible by 8
-# ("Slice shape along dimension 1 must be aligned to tiling (8)").
+# Table channel STRIDE.  8 channels: [dx_hi, dy_hi, dz_hi, opacity,
+# absorption, dx_lo, dy_lo, dz_lo] — the three gradient channels are stored
+# as a bf16 SPLIT (hi = bf16-round(x), lo = bf16-round(x - hi), both kept in
+# f32 storage whose values are exactly bf16-representable).  This lets the
+# one-hot gather matmuls run at Precision.DEFAULT (ONE bf16 MXU pass —
+# HIGHEST's multi-pass f32 emulation measured +8.4 us/window on chip) while
+# hi + lo reconstructs the f32 value to ~2^-17 relative.  Opacity feeds only
+# a sign test (bf16 rounding is sign-exact) and absorption a 2e-2-tolerance
+# brightness path, so they carry no lo row.  The stride also satisfies the
+# Mosaic DMA rule: every HBM slice ``table[b]`` = (1, TCH, PVP) must be
+# aligned to the f32 8-sublane tile ("Slice shape along dimension 1 must be
+# aligned to tiling (8)").
 TCH = 8
-LCH = 5  # live channels within the TCH stride
+LCH = 5  # channels before the lo rows (dx, dy, dz, opacity, absorption)
+NLO = 3  # lo rows (split gradient channels)
 RCH = 8 * TCH  # rolled-copy buffer rows: 8 corners × TCH
 NCH = 4  # interpolated field channels (3D: dx, dy, dz, opacity)
 ABSORB_CH = 4  # cache row of the corner-0 absorption sample (point = cell)
@@ -93,20 +101,41 @@ def brick_grid(packed_shape) -> Tuple[int, int, int]:
     return (-(-cx // BX), -(-cy // BY), -(-cz // BZ))
 
 
+def _overlap_windows(a: jax.Array, axis: int, B: int, P: int) -> jax.Array:
+    """(…, N·B+1, …) → (…, N, P, …): overlapping windows w[n, j] = a[n·B + j]
+    for P = B+1, built DENSELY — the main body is a pure reshape of the first
+    N·B entries and the +1 halo plane is the same array shifted by B — no
+    gather (XLA TPU gathers with duplicated indices serialize; this is the
+    hot relayout of the 256³ train step)."""
+    N = (a.shape[axis] - 1) // B
+    assert P == B + 1 and a.shape[axis] == N * B + 1
+    shp = list(a.shape)
+    shp[axis : axis + 1] = [N, B]
+    main = jax.lax.slice_in_dim(a, 0, N * B, axis=axis).reshape(shp)
+    # halo plane: a[n·B + B] — slice from offset B (length (N-1)·B + 1),
+    # pad to N·B, reshape, take each window's first entry
+    halo = jax.lax.slice_in_dim(a, B, N * B + 1, axis=axis)
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, B - 1)
+    halo = jnp.pad(halo, pad).reshape(shp)
+    halo = jax.lax.slice_in_dim(halo, 0, 1, axis=axis + 1)  # (…, N, 1, …)
+    return jnp.concatenate([main, halo], axis=axis + 1)  # (…, N, P, …)
+
+
 @functools.partial(jax.jit, static_argnames=("has_absorb",))
 def _build_brick_table_jit(packed, absorb, *, has_absorb):
-    """Slab-chunked POINT-grid table build: one x-row of bricks at a time via
-    lax.map.  Each brick stores its (PX, PY, PZ) point grid (cells + 1-point
-    interpolation halo) row-major in the lane axis — adjacent bricks share
-    their boundary plane (the only duplication), so the table is ~8× smaller
-    than the round-1 corner-duplicated design and the build moves ~8× fewer
-    bytes through the (unavoidably small-minor) brick-major relayout."""
+    """Dense POINT-grid table build.  Each brick stores its (PX, PY, PZ)
+    point grid (cells + 1-point interpolation halo) row-major in the lane
+    axis — adjacent bricks share their boundary plane (the only
+    duplication).  The overlapping halo windows are built with
+    ``_overlap_windows`` (reshape + shifted slice), NOT ``jnp.take``: the
+    gather formulation serialized on TPU and dominated the fused train
+    step's constant cost."""
     X, Y, Z, C = packed.shape
     nbx, nby, nbz = brick_grid(packed.shape)
-    CY, CZ = nby * BY, nbz * BZ  # padded cell extents (y, z)
+    CX, CY, CZ = nbx * BX, nby * BY, nbz * BZ  # padded cell extents
     packed_p = jnp.pad(
-        packed,
-        ((0, nbx * BX + 1 - X), (0, CY + 1 - Y), (0, CZ + 1 - Z), (0, 0)),
+        packed, ((0, CX + 1 - X), (0, CY + 1 - Y), (0, CZ + 1 - Z), (0, 0))
     )
     if not has_absorb:
         absorb = jnp.zeros((1, 1, 1), jnp.float32)
@@ -115,34 +144,26 @@ def _build_brick_table_jit(packed, absorb, *, has_absorb):
     absorb_p = jnp.pad(
         absorb,
         (
-            (0, max(0, nbx * BX + 1 - absorb.shape[0])),
+            (0, max(0, CX + 1 - absorb.shape[0])),
             (0, max(0, CY + 1 - absorb.shape[1])),
             (0, max(0, CZ + 1 - absorb.shape[2])),
         ),
-    )[: nbx * BX + 1, : CY + 1, : CZ + 1]
+    )[: CX + 1, : CY + 1, : CZ + 1]
 
-    # static overlapping-window indices: brick b's point j is global b*B + j
-    iy = (np.arange(nby)[:, None] * BY + np.arange(PY)[None, :]).ravel()
-    iz = (np.arange(nbz)[:, None] * BZ + np.arange(PZ)[None, :]).ravel()
-
-    def slab(bx):
-        sl = jax.lax.dynamic_slice(
-            packed_p, (bx * BX, 0, 0, 0), (PX, CY + 1, CZ + 1, C)
-        )
-        ab = jax.lax.dynamic_slice(
-            absorb_p, (bx * BX, 0, 0), (PX, CY + 1, CZ + 1)
-        )
-        t = jnp.concatenate([sl, ab[..., None]], axis=-1)  # (PX, CY+1, CZ+1, LCH)
-        # zero-pad the channel dim to the 8-sublane DMA stride
-        t = jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, TCH - LCH)))
-        t = jnp.take(t, jnp.asarray(iy), axis=1)
-        t = jnp.take(t, jnp.asarray(iz), axis=2)  # (PX, nby*PY, nbz*PZ, TCH)
-        t = t.reshape(PX, nby, PY, nbz, PZ, TCH).transpose(1, 3, 5, 0, 2, 4)
-        t = t.reshape(nby * nbz, TCH, PV)
-        return jnp.pad(t, ((0, 0), (0, 0), (0, PVP - PV)))
-
-    out = jax.lax.map(slab, jnp.arange(nbx))  # (nbx, nby*nbz, TCH, PVP)
-    return out.reshape(nbx * nby * nbz, TCH, PVP)
+    vals = jnp.concatenate([packed_p, absorb_p[..., None]], axis=-1)
+    hi = vals.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = (
+        (vals[..., :NLO] - hi[..., :NLO])
+        .astype(jnp.bfloat16)
+        .astype(jnp.float32)
+    )
+    t = jnp.concatenate([hi, lo], axis=-1)  # (…, TCH): hi×5 then lo×3
+    t = _overlap_windows(t, 0, BX, PX)  # (nbx, PX, CY+1, CZ+1, TCH)
+    t = _overlap_windows(t, 2, BY, PY)  # (nbx, PX, nby, PY, CZ+1, TCH)
+    t = _overlap_windows(t, 4, BZ, PZ)  # (nbx, PX, nby, PY, nbz, PZ, TCH)
+    t = t.transpose(0, 2, 4, 6, 1, 3, 5)  # (nbx, nby, nbz, TCH, PX, PY, PZ)
+    t = t.reshape(nbx * nby * nbz, TCH, PV)
+    return jnp.pad(t, ((0, 0), (0, 0), (0, PVP - PV)))
 
 
 def absorption_fraction(translucency: jax.Array) -> jax.Array:
@@ -214,6 +235,7 @@ def _march_kernel(
     min_bright: float,
     has_absorb: bool,
     precision,
+    ablate: str = "",
 ):
     xb = jnp.float32(bounds[0] - 1)
     yb = jnp.float32(bounds[1] - 1)
@@ -249,7 +271,11 @@ def _march_kernel(
         )
         alive = jnp.where(inb & (rem > 0), alive, 0)
 
-        # ---- per-lane brick id; per-sublane current = min over its lanes ----
+        # ---- per-lane brick id; per-sublane current = min over its lanes.
+        # ONE lane-reduce over the whole (8, 128) tile + ONE any-changed
+        # scalar gate replace the former 8 serialized vector→sreg min
+        # hand-offs and 16 per-window conditional regions — the scalar
+        # traffic only happens on the (rare) brick-switch windows ----
         fpx = jnp.floor(px)
         fpy = jnp.floor(py)
         fpz = jnp.floor(pz)
@@ -258,46 +284,47 @@ def _march_kernel(
         cbz = jnp.clip(fpz.astype(jnp.int32) // BZ, 0, nbz - 1)
         ids = (cbx * nby + cby) * nbz + cbz
         ids = jnp.where(alive != 0, ids, DEAD_ID)
-        curs = [jnp.min(ids[s : s + 1, :]) for s in range(RS)]  # scalars
+        cur_min = jnp.min(ids, axis=1, keepdims=True)  # (8, 1) vector
+        changed_v = (cur_min != prev_ids) & (cur_min != DEAD_ID)
 
         # overlapped conditional DMAs: start all changed bricks, then wait;
         # on arrival, materialise the 8 corner views as lane-rolled copies
         # (brickro[o*TCH+c, p] = brick[c, p + CORNER_OFF[o]]) so the per-
         # window refresh is ONE (RCH, PVP) @ (PVP, RL) matmul per sublane
-        for s in range(RS):
-            @pl.when((curs[s] != prev_ids[s]) & (curs[s] != DEAD_ID))
-            def _(s=s):
-                pltpu.make_async_copy(
-                    table_ref.at[pl.ds(curs[s], 1)],
-                    brick_ref.at[pl.ds(s, 1)],
-                    dma_sem.at[s],
-                ).start()
-        for s in range(RS):
-            @pl.when((curs[s] != prev_ids[s]) & (curs[s] != DEAD_ID))
-            def _(s=s):
-                pltpu.make_async_copy(
-                    table_ref.at[pl.ds(curs[s], 1)],
-                    brick_ref.at[pl.ds(s, 1)],
-                    dma_sem.at[s],
-                ).wait()
-                b = brick_ref[s]
-                for o in range(8):
-                    # roll(-k): out[p] = in[p + k]; the circular tail only
-                    # pollutes p > PVP - k ≥ 1237, beyond any gathered
-                    # anchor (max (7·PY+7)·PZ+15 = 1200)
-                    # pltpu.roll requires a non-negative shift:
-                    # roll(x, PVP - k) == roll(x, -k) on a PVP-circle
-                    brickro_ref[s, o * TCH : (o + 1) * TCH] = pltpu.roll(
-                        b, (PVP - CORNER_OFF[o]) % PVP, 1
-                    )
-        new_ids = tuple(
-            jnp.where(curs[s] != DEAD_ID, curs[s], prev_ids[s]) for s in range(RS)
-        )
+        @pl.when(jnp.any(changed_v))
+        def _():
+            curs = [cur_min[s, 0] for s in range(RS)]
+            prevs = [prev_ids[s, 0] for s in range(RS)]
+            for s in range(RS):
+                @pl.when((curs[s] != prevs[s]) & (curs[s] != DEAD_ID))
+                def _(s=s):
+                    pltpu.make_async_copy(
+                        table_ref.at[pl.ds(curs[s], 1)],
+                        brick_ref.at[pl.ds(s, 1)],
+                        dma_sem.at[s],
+                    ).start()
+            for s in range(RS):
+                @pl.when((curs[s] != prevs[s]) & (curs[s] != DEAD_ID))
+                def _(s=s):
+                    pltpu.make_async_copy(
+                        table_ref.at[pl.ds(curs[s], 1)],
+                        brick_ref.at[pl.ds(s, 1)],
+                        dma_sem.at[s],
+                    ).wait()
+                    b = brick_ref[s]
+                    for o in range(8):
+                        # roll(-k): out[p] = in[p + k]; the circular tail only
+                        # pollutes p > PVP - k ≥ 1237, beyond any gathered
+                        # anchor (max (7·PY+7)·PZ+15 = 1200)
+                        # pltpu.roll requires a non-negative shift:
+                        # roll(x, PVP - k) == roll(x, -k) on a PVP-circle
+                        brickro_ref[s, o * TCH : (o + 1) * TCH] = pltpu.roll(
+                            b, (PVP - CORNER_OFF[o]) % PVP, 1
+                        )
+        new_ids = jnp.where(cur_min != DEAD_ID, cur_min, prev_ids)  # (8, 1)
 
         # (8, 1) per-sublane current brick, broadcast against lanes
-        cur_col = jnp.concatenate(
-            [jnp.full((1, RL), 1, jnp.int32) * curs[s] for s in range(RS)], axis=0
-        )
+        cur_col = jnp.broadcast_to(cur_min, (RS, RL))
         in_cur = (alive != 0) & (ids == cur_col)
 
         # local cell id inside each sublane's brick (valid for in_cur lanes)
@@ -313,19 +340,36 @@ def _march_kernel(
         # ---- refresh: per-sublane one-hot MXU gather of all 8 corners'
         # TCH-channel rows from the rolled-copy buffer ----
         # cache[o*TCH+c, s, l] = table[c, lid[s, l] + CORNER_OFF[o]]
-        parts = []
-        for s in range(RS):
-            onehot = (iota == lid[s : s + 1, :]).astype(jnp.float32)
-            parts.append(
-                jax.lax.dot_general(
-                    brickro_ref[s],
-                    onehot,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )
-            )  # (RCH, RL)
-        cache = jnp.stack(parts, axis=1)  # (RCH, RS, RL)
+        if "nogather" in ablate:  # ablation probe: cost of onehot+dots+stack
+            cache = jnp.broadcast_to(
+                brickro_ref[0, :, :RL][:, None, :], (RCH, RS, RL)
+            ) * (1.0 + lid[0, 0].astype(jnp.float32))
+        else:
+            parts = []
+            for s in range(RS):
+                onehot = (iota == lid[s : s + 1, :]).astype(jnp.float32)
+                parts.append(
+                    jax.lax.dot_general(
+                        brickro_ref[s],
+                        onehot,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )
+                )  # (RCH, RL)
+            cache = jnp.stack(parts, axis=1)  # (RCH, RS, RL)
+
+        # combine the bf16-split gradient rows ONCE per window (hi + lo
+        # reconstructs f32 to ~2^-17; see the TCH layout comment) — the
+        # k-step loop then reads 4 combined rows per corner
+        chv = [
+            [
+                cache[o * TCH + c] + cache[o * TCH + LCH + c]
+                for c in range(NLO)
+            ]
+            + [cache[o * TCH + 3]]
+            for o in range(8)
+        ]
 
         # cell anchor for this refresh window
         basex, basey, basez = fpx, fpy, fpz
@@ -335,6 +379,9 @@ def _march_kernel(
         # subsumed — a ray that steps out of bounds simultaneously leaves
         # its cell (crossed) and stalls until the reap above
         evaluable_w = in_cur & (alive != 0)
+        if "freeze" in ablate:  # ablation probe: rays never step or die —
+            # windows run to max_windows, isolating per-window cost
+            evaluable_w = evaluable_w & (px < -3e38)
 
         def step_body(k, carry):
             px, py, pz, dx, dy, dz, rem, alive, br = carry
@@ -369,7 +416,7 @@ def _march_kernel(
             interp = [jnp.zeros((RS, RL), jnp.float32) for _ in range(NCH)]
             for o in range(8):
                 for c in range(NCH):
-                    interp[c] = interp[c] + wts[o] * cache[o * TCH + c]
+                    interp[c] = interp[c] + wts[o] * chv[o][c]
 
             opaque = interp[3] > 0.0
             if has_absorb:
@@ -402,7 +449,7 @@ def _march_kernel(
         return w + 1, new_ids, state
 
     w, _, state = jax.lax.while_loop(
-        cond, window_body, (jnp.int32(0), (jnp.int32(-1),) * RS, state0)
+        cond, window_body, (jnp.int32(0), jnp.full((RS, 1), -1, jnp.int32), state0)
     )
     px, py, pz, dx, dy, dz, rem, alive, br = state
 
@@ -424,13 +471,13 @@ def _march_kernel(
     static_argnames=(
         "budget", "k_steps", "max_windows", "interpret",
         "bounds", "nb", "bend", "step", "min_bright", "has_absorb",
-        "n_tiles", "precision",
+        "n_tiles", "precision", "ablate",
     ),
 )
 def _march_call(
     table, px, py, pz, dx, dy, dz, rem, alive, br,
     *, budget, k_steps, max_windows, interpret, bounds, nb, bend, step,
-    min_bright, has_absorb, n_tiles, precision,
+    min_bright, has_absorb, n_tiles, precision, ablate="",
 ):
     kernel = functools.partial(
         _march_kernel,
@@ -443,6 +490,7 @@ def _march_call(
         min_bright=min_bright,
         has_absorb=has_absorb,
         precision=precision,
+        ablate=ablate,
     )
     n = n_tiles * R
     # state travels as (rows, 128) — the kernel sees native (8, 128) tiles
@@ -483,10 +531,11 @@ def march_pallas(
     max_windows: Optional[int] = None,
     interpret: bool = False,
     sort_rays: bool = True,
-    precision=jax.lax.Precision.HIGHEST,
+    precision=jax.lax.Precision.DEFAULT,
     table: Optional[jax.Array] = None,
     nb: Optional[Tuple[int, int, int]] = None,
     return_state: bool = False,
+    _ablate: str = "",
 ) -> TraceResult:
     """Forward float march through ``packed`` using the brick-walking kernel.
 
@@ -561,7 +610,7 @@ def march_pallas(
         interpret=interpret, bounds=bounds, nb=nb, bend=bend, step=step,
         min_bright=float(minimum_brightness) / BRIGHT_MAX_F,
         has_absorb=has_absorb,
-        n_tiles=n // R, precision=precision,
+        n_tiles=n // R, precision=precision, ablate=_ablate,
     )
     windows_used = outs[9][:: R // RL, 0]  # one entry per tile
     outs = [o.reshape(n) for o in outs[:9]]

@@ -90,6 +90,7 @@ def render_transmittance(
     Returns dict(end_position, end_direction, transmittance).
     """
     dim = positions.shape[-1]
+    sigma = _as_field(sigma, dim)
     inv = jnp.broadcast_to(jnp.asarray(invscale, jnp.float32), (dim,))
     bend_scale = inv / float(FIX_ONE)
     step_scale = inv * (STEP_CONST / float(FIX_ONE) / float(FIX_ONE))
@@ -171,6 +172,18 @@ def render_image(
     return out
 
 
+def _as_field(x, dim: int):
+    """Accept a scalar σ/emission as shorthand for a uniform medium: expand
+    it to a minimal constant grid (interp of a constant is the constant,
+    clamp addressing covers every position)."""
+    if x is None:
+        return None
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim == 0:
+        return jnp.broadcast_to(x, (2,) * dim)
+    return x
+
+
 def render_rays_image(
     packed, ior, positions, directions, *, budget, invscale=2.0,
     sigma=None, emission=None, background=0.0, chunk_steps=64,
@@ -178,6 +191,8 @@ def render_rays_image(
     """Per-ray form of :func:`render_image` (pixels as a flat ray batch —
     shardable over a mesh rays axis with ``shard_map``)."""
     dim = positions.shape[-1]
+    sigma = _as_field(sigma, dim)
+    emission = _as_field(emission, dim)
     inv = jnp.broadcast_to(jnp.asarray(invscale, jnp.float32), (dim,))
     bend_scale = inv / float(FIX_ONE)
     step_scale = inv * (STEP_CONST / float(FIX_ONE) / float(FIX_ONE))

@@ -293,14 +293,15 @@ def fit_field(
 def save_ray_state(path: Union[str, Path], result: TraceResult, budget_left) -> None:
     """Snapshot an in-flight trace: endpoints + directions + remaining budget
     become the start state of the next leg."""
-    np.savez_compressed(
-        path,
-        kind=np.array("ray_state"),
-        position=np.asarray(result.end_position),
-        direction=np.asarray(result.end_direction),
-        budget_left=np.asarray(budget_left, np.uint32),
-        remaining_light=np.asarray(result.remaining_light, np.uint32),
-    )
+    with open(path, "wb") as fh:  # np.savez(path) appends ".npz" to other
+        np.savez_compressed(      # suffixes; write the exact path instead
+            fh,
+            kind=np.array("ray_state"),
+            position=np.asarray(result.end_position),
+            direction=np.asarray(result.end_direction),
+            budget_left=np.asarray(budget_left, np.uint32),
+            remaining_light=np.asarray(result.remaining_light, np.uint32),
+        )
 
 
 def load_ray_state(path: Union[str, Path]) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

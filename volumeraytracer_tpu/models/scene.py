@@ -142,6 +142,23 @@ class RaytraceScene:
         invscale = np.broadcast_to(np.asarray(invscale, np.float32), (self.dim,))
         chunk_steps = chunk_steps or self.options.chunk_steps
 
+        # explicit input validation (≙ the reference's per-ray checks,
+        # image_util.cpp:686-691) — fail with a clear message instead of a
+        # downstream reshape error
+        sp = np.asarray(start_position)
+        sd = np.asarray(start_direction)
+        if sp.shape[-1:] != (self.dim,) or sd.shape[-1:] != (self.dim,):
+            raise ValueError(
+                f"start_position/start_direction must have trailing dim "
+                f"{self.dim} (scene bounds {self.bounds}); got "
+                f"{sp.shape} and {sd.shape}"
+            )
+        if sp.shape != sd.shape:
+            raise ValueError(
+                f"start_position {sp.shape} and start_direction {sd.shape} "
+                "must have the same shape"
+            )
+
         if self.options.write_instance:
             # capture-and-replay debug dump (≙ the pybind binding's
             # unconditional debug_raytrace_instance, python_binding.cpp:21-34,

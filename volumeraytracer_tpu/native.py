@@ -61,6 +61,22 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_double, ctypes.c_int,
     ]
     lib.vrt_solve_harmonic.restype = ctypes.c_int
+    # scene-level C API (the second-language binding; native/vrt_native.h)
+    lib.vrt_scene_new.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u32p,
+    ]
+    lib.vrt_scene_new.restype = ctypes.c_void_p
+    lib.vrt_scene_trace.argtypes = [
+        ctypes.c_void_p, f32p, f32p, u32p, ctypes.c_int,
+        ctypes.c_uint32, f32p, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.vrt_scene_trace.restype = None
+    lib.vrt_scene_bounds.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.vrt_scene_bounds.restype = None
+    lib.vrt_scene_free.argtypes = [ctypes.c_void_p]
+    lib.vrt_scene_free.restype = None
     _lib = lib
     return _lib
 
@@ -103,6 +119,65 @@ def march_float(
         np.uint32(budget), _f32p(bend), _f32p(step), nthreads,
     )
     return pos, dirs, iters
+
+
+class NativeScene:
+    """Build-once/trace-many handle over the scene-level C API — the
+    framework's second-language binding surface (≙ the reference JNI
+    new_instance/trace_rays/delete_instance, java_binding.cpp:179-304),
+    exercised here through ctypes exactly as a C/Java/Rust host would."""
+
+    def __init__(self, ior: np.ndarray, translucency: Optional[np.ndarray] = None):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        ior = np.ascontiguousarray(ior, np.float32)
+        assert ior.ndim == 3
+        trp = None
+        if translucency is not None:
+            self._tr = np.ascontiguousarray(translucency, np.uint32)
+            trp = self._tr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+        self._ior = ior  # keep alive during the C call
+        self._h = lib.vrt_scene_new(
+            _f32p(ior), *(int(s) for s in ior.shape), trp
+        )
+        if not self._h:
+            raise ValueError("vrt_scene_new rejected the scene "
+                             "(bounds < 3 or non-positive ior)")
+
+    def trace_rays(self, pos, dirs, budget: int, invscale=2.0,
+                   normalize_length: bool = True, nthreads: int = 0):
+        """In-place-style trace; returns (end_pos, end_dir, iters)."""
+        pos = np.ascontiguousarray(pos, np.float32).copy()
+        dirs = np.ascontiguousarray(dirs, np.float32).copy()
+        n = pos.shape[0]
+        iters = np.zeros(n, np.uint32)
+        inv = np.ascontiguousarray(
+            np.broadcast_to(np.asarray(invscale, np.float32), (3,))
+        )
+        self._lib.vrt_scene_trace(
+            self._h, _f32p(pos), _f32p(dirs),
+            iters.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n,
+            np.uint32(budget), _f32p(inv), int(normalize_length), nthreads,
+        )
+        return pos, dirs, iters
+
+    def bounds(self):
+        out = (ctypes.c_int * 3)()
+        self._lib.vrt_scene_bounds(self._h, out)
+        return tuple(out)
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.vrt_scene_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def solve_harmonic(

@@ -64,8 +64,16 @@ class _npz_load:
 
 
 def save_instance(path: Union[str, Path], inst: RaytraceInstance) -> None:
+    # write through an open handle: np.savez_compressed(path) silently
+    # APPENDS ".npz" to names without that suffix, so save_instance("x.vrt")
+    # would write x.vrt.npz while load_instance("x.vrt") reads the empty file
+    with open(path, "wb") as fh:
+        _savez_instance(fh, inst)
+
+
+def _savez_instance(fh, inst: RaytraceInstance) -> None:
     np.savez_compressed(
-        path,
+        fh,
         kind=np.array("raytrace_instance"),
         bounds=np.asarray(inst.scene.bounds, np.int64),
         ior=np.asarray(inst.scene.ior),
@@ -100,13 +108,14 @@ def load_instance(path: Union[str, Path]) -> RaytraceInstance:
 
 
 def save_scene_instance(path, scene: RaySceneInstance) -> None:
-    np.savez_compressed(
-        path,
-        kind=np.array("scene_instance"),
-        bounds=np.asarray(scene.bounds, np.int64),
-        ior=np.asarray(scene.ior),
-        translucency=np.asarray(scene.translucency, np.uint32),
-    )
+    with open(path, "wb") as fh:  # see save_instance: suffix-append hazard
+        np.savez_compressed(
+            fh,
+            kind=np.array("scene_instance"),
+            bounds=np.asarray(scene.bounds, np.int64),
+            ior=np.asarray(scene.ior),
+            translucency=np.asarray(scene.translucency, np.uint32),
+        )
 
 
 def load_scene_instance(path) -> RaySceneInstance:
@@ -119,17 +128,18 @@ def load_scene_instance(path) -> RaySceneInstance:
 
 
 def save_ray_instance(path, rays: RayInstance) -> None:
-    np.savez_compressed(
-        path,
-        kind=np.array("ray_instance"),
-        start_position=np.asarray(rays.start_position),
-        start_direction=np.asarray(rays.start_direction),
-        invscale=np.asarray(rays.invscale, np.float32),
-        minimum_brightness=np.uint32(rays.minimum_brightness),
-        iterations=np.uint32(rays.iterations),
-        trace_path=np.bool_(rays.trace_path),
-        normalize_length=np.bool_(rays.normalize_length),
-    )
+    with open(path, "wb") as fh:  # see save_instance: suffix-append hazard
+        np.savez_compressed(
+            fh,
+            kind=np.array("ray_instance"),
+            start_position=np.asarray(rays.start_position),
+            start_direction=np.asarray(rays.start_direction),
+            invscale=np.asarray(rays.invscale, np.float32),
+            minimum_brightness=np.uint32(rays.minimum_brightness),
+            iterations=np.uint32(rays.iterations),
+            trace_path=np.bool_(rays.trace_path),
+            normalize_length=np.bool_(rays.normalize_length),
+        )
 
 
 def load_ray_instance(path) -> RayInstance:
