@@ -366,12 +366,44 @@ def _bwd_kernel(
             rrem = rrem - ok.astype(jnp.int32)
             return (px, py, pz, vx, vy, vz, ax, ay, az, bx, by, bz, rrem, ndC)
 
-        out = jax.lax.fori_loop(
-            0, k_steps, step_body,
-            (px, py, pz, vx, vy, vz, ax, ay, az, bx, by, bz, rrem, dC),
+        # chunked step loop with early exit (see march_pallas): reverse-step
+        # eligibility is monotone non-increasing within a window, so skip
+        # the dead tail of the k-loop once no ray can reverse further —
+        # the adjoint body is ~3x the forward body, so the ~half-dead
+        # iterations at k=32 are the largest per-window cost
+        step_chunk = 8 if k_steps % 8 == 0 else k_steps
+        n_chunks = k_steps // step_chunk
+
+        def ch_cond(c):
+            j, cont, _, _ = c
+            return (j < n_chunks) & cont
+
+        def ch_body(c):
+            j, _, s, dC = c
+            out = jax.lax.fori_loop(0, step_chunk, step_body, s + (dC,))
+            s = out[:13]
+            dC = out[13]
+            ilen2 = 1.0 / (s[3] * s[3] + s[4] * s[4] + s[5] * s[5])
+            fx2 = (s[0] - s[3] * sx * ilen2) - basex
+            fy2 = (s[1] - s[4] * sy * ilen2) - basey
+            fz2 = (s[2] - s[5] * sz * ilen2) - basez
+            crossed2 = (
+                (fx2 < 0) | (fx2 >= 1.0) | (fy2 < 0) | (fy2 >= 1.0)
+                | (fz2 < 0) | (fz2 >= 1.0)
+            )
+            cont = jnp.any(evaluable_w & ~crossed2 & (s[12] > 0))
+            return j + 1, cont, s, dC
+
+        _, _, state, dC = jax.lax.while_loop(
+            ch_cond,
+            ch_body,
+            (
+                jnp.int32(0),
+                jnp.asarray(True),
+                (px, py, pz, vx, vy, vz, ax, ay, az, bx, by, bz, rrem),
+                dC,  # list pytree, matching step_body's ndC
+            ),
         )
-        state = out[:13]
-        dC = out[13]
 
         # transpose-scatter: per-sublane (GROWS, RL) grad rows → per-corner
         # anchor-point grads via d_rolled_s += d_cache_s @ onehot_sᵀ (the

@@ -443,8 +443,42 @@ def _march_kernel(
             rem = rem - ok.astype(jnp.int32)
             return px, py, pz, dx, dy, dz, rem, alive, br
 
-        state = jax.lax.fori_loop(
-            0, k_steps, step_body, (px, py, pz, dx, dy, dz, rem, alive, br)
+        # chunked step loop with early exit: within a window every ray's
+        # steppability is monotone non-increasing (crossed rays stay frozen,
+        # opaque/dark blocks are position-stable), so once no ray can step
+        # the remaining k-iterations are provably no-ops — skip them.  At
+        # k=32 the measured window-step efficiency is ~0.46, i.e. nearly
+        # half the iterations were dead.  The liveness check ignores
+        # opaque/dark blocks (conservative: may run extra chunks, never
+        # skips real work).
+        step_chunk = 8 if k_steps % 8 == 0 else k_steps
+        n_chunks = k_steps // step_chunk
+
+        def ch_cond(c):
+            j, cont, _ = c
+            return (j < n_chunks) & cont
+
+        def ch_body(c):
+            j, _, s = c
+            s = jax.lax.fori_loop(0, step_chunk, step_body, s)
+            fx2 = s[0] - basex
+            fy2 = s[1] - basey
+            fz2 = s[2] - basez
+            crossed2 = (
+                (fx2 < 0) | (fx2 >= 1.0) | (fy2 < 0) | (fy2 >= 1.0)
+                | (fz2 < 0) | (fz2 >= 1.0)
+            )
+            cont = jnp.any(evaluable_w & ~crossed2 & (s[6] > 0))
+            return j + 1, cont, s
+
+        _, _, state = jax.lax.while_loop(
+            ch_cond,
+            ch_body,
+            (
+                jnp.int32(0),
+                jnp.asarray(True),
+                (px, py, pz, dx, dy, dz, rem, alive, br),
+            ),
         )
         return w + 1, new_ids, state
 

@@ -144,18 +144,19 @@ class RaytraceScene:
 
         # explicit input validation (≙ the reference's per-ray checks,
         # image_util.cpp:686-691) — fail with a clear message instead of a
-        # downstream reshape error
-        sp = np.asarray(start_position)
-        sd = np.asarray(start_direction)
-        if sp.shape[-1:] != (self.dim,) or sd.shape[-1:] != (self.dim,):
+        # downstream reshape error.  np.shape is tracer-safe (trace_rays may
+        # be called under jit for the differentiable path).
+        sp_shape = np.shape(start_position)
+        sd_shape = np.shape(start_direction)
+        if sp_shape[-1:] != (self.dim,) or sd_shape[-1:] != (self.dim,):
             raise ValueError(
                 f"start_position/start_direction must have trailing dim "
                 f"{self.dim} (scene bounds {self.bounds}); got "
-                f"{sp.shape} and {sd.shape}"
+                f"{sp_shape} and {sd_shape}"
             )
-        if sp.shape != sd.shape:
+        if sp_shape != sd_shape:
             raise ValueError(
-                f"start_position {sp.shape} and start_direction {sd.shape} "
+                f"start_position {sp_shape} and start_direction {sd_shape} "
                 "must have the same shape"
             )
 
