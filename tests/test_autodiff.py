@@ -94,3 +94,47 @@ def test_transmittance_grad():
     # more absorption ⇒ less transmittance: gradients along the beam negative
     # (the ray runs at y = z = 7 in the cropped-grid frame)
     assert g[6, 7, 7] < 0
+
+
+def test_soft_termination_opacity_gradient():
+    """Soft-termination relaxation (SURVEY.md §7 "sub-voxel surface
+    termination", ≙ the hard break of cuda_volume_raytracer.cu:342-343):
+    with ``soft_opacity_tau`` the march carries a differentiable
+    transmittance through which the TRANSLUCENCY field gets a nonzero,
+    FD-verified gradient — the hard break alone is zero-gradient a.e."""
+    n = 20
+    ior = np.ones((n, n, n), np.float32)
+    # semi-transparent wall just below the opacity-channel zero crossing
+    # (tr = 0.5 ⇒ opacity ≈ 0): opacity ≈ −65.5 ⇒ σ(65.5/256) ≈ 0.56/step,
+    # no hard break, smooth decay through the wall
+    tr = np.ones((n, n, n), np.float32)
+    tr[8:12] = 0.501
+
+    pos = jnp.asarray([[2.0, 9.0, 9.0]], jnp.float32)
+    dirs = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+
+    def loss(t):
+        packed = build_packed_field(jnp.asarray(ior), t)
+        res = march_ops.march_float(
+            packed, None, pos, dirs, 32,
+            bend_scale=np.zeros(3, np.float32),
+            step_scale=np.ones(3, np.float32),
+            chunk_steps=8, differentiable=True, soft_opacity_tau=256.0,
+        )
+        return jnp.sum(res.transmittance)
+
+    t0 = float(loss(jnp.asarray(tr)))
+    assert 0.0 < t0 < 0.5  # decayed through the wall
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(tr)))
+    assert np.isfinite(g).all()
+    # the wall voxels along the beam must carry positive gradient (more
+    # translucent ⇒ more light survives) and FD must agree.  The beam runs at
+    # packed y = z = 9 (raw grid is cropped by 1: raw = packed + 1)
+    i, j, k = 9, 10, 10  # raw-grid voxel inside the wall on the beam
+    assert g[i, j, k] > 0
+    eps = 1e-4
+    hi = tr.copy(); hi[i, j, k] += eps
+    lo = tr.copy(); lo[i, j, k] -= eps
+    fd = (float(loss(jnp.asarray(hi))) - float(loss(jnp.asarray(lo)))) / (2 * eps)
+    assert fd == pytest.approx(float(g[i, j, k]), rel=2e-2)

@@ -46,6 +46,24 @@ def test_get_ior_point_sample():
     np.testing.assert_array_equal(got, [ior[1, 3], ior[0, 0]])
 
 
+def test_per_ray_iteration_budgets():
+    """Heterogeneous per-ray budgets (≙ the CuPy kernel's per-ray uint32
+    iteration counter, volume_raytracer.py:159): a ray with budget 3 executes
+    exactly 3 steps while its neighbour with a huge budget runs to the wall."""
+    shape = (64, 8)
+    ior = np.ones(shape, np.float32)
+    volume = OpticalVolume(ior, np.ones(shape, np.float32), 1.0)
+    pos = np.array([[2.0, 4.0], [2.0, 4.0]], np.float32)
+    dirs = np.array([[1.0, 0.0], [1.0, 0.0]], np.float32)
+    p, d, rem = volume.trace_rays(pos, dirs, np.array([3, 10_000], np.uint32))
+    # constant field, |v|=1 ⇒ step length 1 voxel/step
+    np.testing.assert_allclose(np.asarray(p)[0, 0], 5.0, atol=1e-5)
+    assert float(p[1, 0]) > 60.0  # ran to the far bound
+    assert int(rem[0]) == 0
+    # remaining = per-ray budget − executed steps, in the ray's own units
+    assert int(rem[1]) == 10_000 - int(np.asarray(p)[1, 0] - 2.0)
+
+
 def test_opaque_termination():
     """Rays stop when the translucency channel goes negative
     (volume_raytracer.py:166: interp[dim] < 0 → break)."""

@@ -223,3 +223,27 @@ def test_scene_api_differentiable_pallas():
     np.testing.assert_allclose(
         np.asarray(gp), np.asarray(gx), rtol=1e-3, atol=1e-5
     )
+
+
+def test_truncated_adjoint_poisons_gradients():
+    """A backward replay that exhausts ``max_windows`` has only partially
+    propagated adjoints; the custom_vjp must fail LOUDLY (NaN-poisoned
+    gradients) instead of returning silently wrong values."""
+    packed = build_packed_field(_grin(24))
+    pos, dirs, _ = _rays(8, lo=3.0, hi=18.0, seed=7)
+    budget = 120
+
+    def loss(packed, max_windows):
+        r = march_pallas_diff(
+            packed, pos, dirs, budget, bend_scale=BEND, step_scale=STEP,
+            k_steps=8, interpret=True, max_windows=max_windows,
+        )
+        return jnp.sum(r.end_position)
+
+    # ample window cap: gradients are finite
+    g_ok = jax.grad(lambda p: loss(p, None))(packed)
+    assert np.isfinite(np.asarray(g_ok)).all()
+
+    # force saturation: 2 windows cannot replay a 100+-step march
+    g_trunc = jax.grad(lambda p: loss(p, 2))(packed)
+    assert np.isnan(np.asarray(g_trunc)).all()

@@ -91,3 +91,13 @@ def test_sharded_train_step_runs_and_descends():
     f2, loss1 = step(f1, jnp.asarray(pos), jnp.asarray(dirs), target)
     assert np.isfinite(float(loss0)) and np.isfinite(float(loss1))
     assert float(loss1) < float(loss0)
+
+    # gradient accumulation (2 micro-batches/shard, one psum per step) is a
+    # pure reassociation of the loss sum: same update, same loss
+    step_acc = make_train_step(mesh, budget=128, chunk_steps=32, lr=1e-4,
+                               accum_steps=2)
+    f1a, loss0a = step_acc(f, jnp.asarray(pos), jnp.asarray(dirs), target)
+    np.testing.assert_allclose(float(loss0a), float(loss0), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(f1a), np.asarray(f1), rtol=1e-6, atol=1e-7
+    )

@@ -40,8 +40,14 @@ input (``input_output_aliases``).
 Termination conditions (opaque surface .cu:343, absorption darkness
 .cu:337-341, bounds exit) are treated as non-differentiable
 (straight-through): executed-step counts are constants of the backward pass,
-and the opacity/absorption channels receive zero gradient — the
-soft-termination relaxation lives in the XLA path.
+and the opacity/absorption channels receive zero gradient from this kernel.
+For opacity/translucency gradients use the XLA path's soft-termination
+relaxation (``ops.march.march_float(soft_opacity_tau=...)``), which carries a
+differentiable transmittance alongside the hard march.
+
+A backward tile that exhausts ``max_windows`` has only partially propagated
+its adjoints; ``f_bwd`` POISONS all gradients with NaN in that case (see the
+comment there) rather than returning silently wrong values.
 """
 
 from __future__ import annotations
@@ -682,13 +688,26 @@ def _make_vjp_fn(budget, bend, step, min_bright, has_absorb, k_steps,
         from .march_pallas import brick_grid
 
         nb = brick_grid(packed.shape)
-        gtable, d_pos0, d_dir0, _, _ = _bwd_impl(
+        gtable, d_pos0, d_dir0, _, windows_used = _bwd_impl(
             table, nb, end_pos, end_dir, nexec, d_pos, d_dir,
             bend=bend, step=step, k_steps=k_steps,
             max_windows=max_windows, interpret=interpret, budget=budget,
         )
         d_packed = fold_brickmajor_grads(gtable, packed.shape, nb)
-        return d_packed, d_pos0, d_dir0, jnp.zeros_like(absorb)
+        # Truncation is an ERROR, not a diagnostic: a tile that saturated
+        # max_windows left partially propagated adjoints.  Poison every
+        # gradient with NaN so the failure is loud (optimizers diverge,
+        # jax_debug_nans trips) instead of silently wrong — raising is
+        # impossible on traced values inside custom_vjp.
+        mw = max_windows if max_windows is not None else 2 * budget + 64
+        truncated = jnp.any(windows_used >= mw)
+        poison = jnp.where(truncated, jnp.float32(jnp.nan), jnp.float32(1.0))
+        return (
+            d_packed * poison,
+            d_pos0 * poison,
+            d_dir0 * poison,
+            jnp.zeros_like(absorb),
+        )
 
     f.defvjp(f_fwd, f_bwd)
     return f

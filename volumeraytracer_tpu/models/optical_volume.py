@@ -90,10 +90,10 @@ class OpticalVolume:
 
     @staticmethod
     @functools.partial(jax.jit, static_argnames=("budget", "ndim"))
-    def _trace(gradient, positions, directions, iterations, bounds, budget: int, ndim: int):
-        # per-call budget = max(iterations); rays with a smaller per-ray
-        # budget are masked out by `remaining` (the CuPy kernel reads the
-        # per-ray uint32, volume_raytracer.py:159).
+    def _trace(gradient, positions, directions, iterations, budget: int, ndim: int):
+        # `iterations` is the (N,) per-ray budget array — the CuPy kernel
+        # reads a per-ray uint32 (volume_raytracer.py:159); `budget` =
+        # max(iterations) only bounds the static trip count.
         res = march_ops.march_float(
             gradient,
             None,
@@ -105,6 +105,7 @@ class OpticalVolume:
             chunk_steps=min(budget, 32),
             opaque_when_positive=False,
             nearest=True,
+            per_ray_budget=iterations,
         )
         return res.end_position, res.end_direction, res.remaining_light, res.end_iteration
 
@@ -116,7 +117,9 @@ class OpticalVolume:
         budget (iter + 1 fixup semantics of the kernel)."""
         positions = jnp.asarray(positions, jnp.float32)
         directions = jnp.asarray(directions, jnp.float32)
-        iterations = np.asarray(iterations, np.uint32)
+        iterations = np.broadcast_to(
+            np.asarray(iterations, np.uint32), positions.shape[:1]
+        )
         budget = int(iterations.max())
         if bounds is not None:
             bounds = np.asarray(bounds, np.float32)
@@ -125,9 +128,10 @@ class OpticalVolume:
                     f"bounds {bounds} must match volume shape {self.shape}"
                 )
         pos, dirs, _, end_iter = self._trace(
-            self.gradient, positions, directions, iterations, bounds, budget, self.ndim
+            self.gradient, positions, directions, jnp.asarray(iterations),
+            budget, self.ndim
         )
-        remaining = jnp.uint32(budget) - end_iter
+        remaining = jnp.asarray(iterations) - end_iter
         return pos, dirs, remaining
 
     def get_ior(self, position) -> jax.Array:

@@ -53,6 +53,8 @@ class MarchState(NamedTuple):
     remaining: jax.Array  # (N,) uint32 remaining iteration budget
     brightness: jax.Array  # (N,) uint32
     alive: jax.Array  # (N,) bool
+    #: (N,) float32 soft transmittance (only when soft_opacity_tau is set)
+    trans: Optional[jax.Array] = None
 
 
 # ---------------------------------------------------------------------------
@@ -69,7 +71,7 @@ def _fixed_step(
     minimum_brightness: jax.Array,
 ) -> MarchState:
     """One predicated step of the uint32 16.16 march (≙ .cu:335-349)."""
-    pos, direction, remaining, brightness, alive = state
+    pos, direction, remaining, brightness, alive, _ = state
     dim = pos.shape[-1]
 
     # loop condition: iterations-- > 0 && (pos >> 16) < bounds - 1
@@ -125,6 +127,7 @@ def _float_step(
     minimum_brightness: jax.Array,
     opaque_when_positive: bool,
     nearest: bool,
+    soft_tau: float = 0.0,
 ) -> MarchState:
     """One predicated step in float voxel units.
 
@@ -134,8 +137,17 @@ def _float_step(
         (.cu:335-349 with pos_t → voxels);
       * CuPy kernel: bend_scale = 1, step_scale = 1, nearest sampling,
         opaque if chan < 0 (volume_raytracer.py:159-171).
+
+    ``soft_tau > 0`` enables the soft-termination relaxation (SURVEY.md §7
+    "sub-voxel surface termination"): the hard break on the opacity channel
+    (≙ .cu:342-343) stays, but a float32 transmittance is carried alongside,
+    multiplied per evaluated step by the sigmoid survival probability
+    ``σ(−interp[dim]/τ)`` (sign flipped for the CuPy convention).  Its value
+    is ≈1 for transparent media (opacity ≈ −0x8000 ⇒ σ ≈ 1) and collapses
+    smoothly through a wall, giving the opacity/translucency field a nonzero,
+    FD-verifiable gradient that the discrete break cannot.
     """
-    pos, direction, remaining, brightness, alive = state
+    pos, direction, remaining, brightness, alive, trans = state
     dim = pos.shape[-1]
 
     if nearest:
@@ -175,6 +187,11 @@ def _float_step(
     # budget consumed once per executed step (see _fixed_step comment)
     remaining = jnp.where(step_ok, remaining - 1, remaining)
 
+    if soft_tau > 0.0:
+        sgn = -1.0 if opaque_when_positive else 1.0
+        survive = jax.nn.sigmoid(interp[..., dim] * (sgn / soft_tau))
+        trans = jnp.where(cond, trans * survive, trans)
+
     new_dir = direction + interp[..., :dim] * bend_scale
     ilen = 1.0 / jnp.sum(new_dir * new_dir, axis=-1, keepdims=True)
     new_pos = pos + new_dir * step_scale * ilen
@@ -182,7 +199,7 @@ def _float_step(
     direction = jnp.where(step_ok[..., None], new_dir, direction)
     pos = jnp.where(step_ok[..., None], new_pos, pos)
     alive = step_ok
-    return MarchState(pos, direction, remaining, brightness, alive)
+    return MarchState(pos, direction, remaining, brightness, alive, trans)
 
 
 def _strides(bounds: np.ndarray) -> jax.Array:
@@ -245,6 +262,27 @@ def _run_scan(step_fn, state: MarchState, budget: int, chunk_steps: int, record_
     return state, None
 
 
+def _init_remaining(
+    lane: jax.Array,
+    budget: int,
+    per_ray_budget,
+    consume_start_slot: bool,
+) -> jax.Array:
+    """Per-ray remaining-iteration init.  The reference carries the budget
+    per RAY (``raydata_t::iterations``, cuda_volume_raytracer.cu:103-109; the
+    CuPy kernel reads a per-ray uint32, volume_raytracer.py:159); the scalar
+    ``budget`` is only the static trip-count bound.  C++ semantics consume
+    one slot for the start path entry (.cu:333)."""
+    if per_ray_budget is None:
+        rem = lane + jnp.uint32(budget - 1 if consume_start_slot else budget)
+    else:
+        rem = jnp.asarray(per_ray_budget, jnp.uint32)
+        rem = jnp.broadcast_to(rem, lane.shape) + lane
+        if consume_start_slot:
+            rem = jnp.maximum(rem, jnp.uint32(1)) - jnp.uint32(1)
+    return rem
+
+
 def march_fixed(
     packed: jax.Array,
     translucency: Optional[jax.Array],
@@ -257,6 +295,7 @@ def march_fixed(
     chunk_steps: int = 256,
     record_path: bool = False,
     dir_prescale: float = DIR_PRESCALE_FLOAT,
+    per_ray_budget: Optional[jax.Array] = None,
 ) -> TraceResult:
     """Reference-faithful fixed-point march over the *cropped/diff* grid.
 
@@ -264,6 +303,8 @@ def march_fixed(
     diff grid (the caller applies the −0x10000 net shift of
     image_util.cpp:692-710); start_direction: (N, dim) float in the float
     DirType convention (working dir = direction * 0x10000, .cu:331).
+    ``per_ray_budget``: optional (N,) per-ray iteration budgets (≙
+    raydata_t::iterations); ``budget`` must be ≥ their max (trip count).
     """
     bounds = np.asarray(packed.shape[:-1], np.int64)
     n, dim = start_position.shape
@@ -277,7 +318,7 @@ def march_fixed(
         pos=start_position.astype(jnp.uint32),
         direction=start_direction.astype(jnp.float32) * jnp.float32(dir_prescale),
         # path[--iterations] consumes one budget slot before the loop (.cu:333)
-        remaining=lane + jnp.uint32(budget - 1),
+        remaining=_init_remaining(lane, budget, per_ray_budget, True),
         brightness=lane + jnp.uint32(BRIGHTNESS_MAX),
         alive=lane == 0,
     )
@@ -297,7 +338,7 @@ def march_fixed(
     else:
         state, path = _run_while(step_fn, state, budget, chunk_steps), None
 
-    return _finish(state, budget, dir_prescale, path)
+    return _finish(state, budget, dir_prescale, path, per_ray_budget)
 
 
 def march_float(
@@ -316,25 +357,41 @@ def march_float(
     opaque_when_positive: bool = True,
     nearest: bool = False,
     dir_prescale: float = 1.0,
+    per_ray_budget: Optional[jax.Array] = None,
+    soft_opacity_tau: Optional[float] = None,
 ) -> TraceResult:
     """Float voxel-unit march (differentiable when requested).
 
     start_position: (N, dim) float32 voxels in the packed-field frame;
     start_direction: (N, dim) float32 *working* direction (already |v| = n
     normalised by the caller), optionally prescaled by ``dir_prescale``.
+    ``per_ray_budget``: optional (N,) per-ray iteration budgets (≙ the CuPy
+    kernel's per-ray uint32, volume_raytracer.py:159); ``budget`` must be ≥
+    their max (it only bounds the static trip count).
+
+    ``soft_opacity_tau``: enable the soft-termination relaxation — the result
+    carries a differentiable ``transmittance`` (see ``_float_step``), through
+    which opacity/translucency fields receive gradient (the hard break's
+    gradient is zero a.e.).  τ is in opacity-channel units (the channel is
+    ``(0x7FFFFFFF − translucency)/0x10000`` ∈ [−0x8000, 0x8000); τ ≈ 0x100
+    gives a ~1/256-of-range transition band).
     """
     bounds = np.asarray(packed.shape[:-1], np.int64)
     n, dim = start_position.shape
     lane = jnp.zeros_like(start_position[..., 0], dtype=jnp.uint32)
+    soft = soft_opacity_tau is not None and soft_opacity_tau > 0.0
     state = MarchState(
         pos=start_position.astype(jnp.float32),
         direction=start_direction.astype(jnp.float32) * jnp.float32(dir_prescale),
         # reference-C++ semantics (opaque_when_positive) consume one budget
         # slot for the start-position path entry (.cu:333); the CuPy kernel
         # does not (volume_raytracer.py:163 uses the full budget).
-        remaining=lane + jnp.uint32(budget - 1 if opaque_when_positive else budget),
+        remaining=_init_remaining(lane, budget, per_ray_budget, opaque_when_positive),
         brightness=lane + jnp.uint32(BRIGHTNESS_MAX),
         alive=lane == 0,
+        trans=jnp.ones_like(start_position[..., 0], dtype=jnp.float32)
+        if soft
+        else None,
     )
     step_fn = functools.partial(
         _float_step,
@@ -346,6 +403,7 @@ def march_float(
         minimum_brightness=jnp.uint32(minimum_brightness),
         opaque_when_positive=opaque_when_positive,
         nearest=nearest,
+        soft_tau=float(soft_opacity_tau) if soft else 0.0,
     )
     if differentiable or record_path:
         state, path = _run_scan(step_fn, state, budget, chunk_steps, record_path)
@@ -353,18 +411,26 @@ def march_float(
             path = jnp.concatenate([start_position[:, None].astype(jnp.float32), path], axis=1)
     else:
         state, path = _run_while(step_fn, state, budget, chunk_steps), None
-    return _finish(state, budget, dir_prescale, path)
+    return _finish(state, budget, dir_prescale, path, per_ray_budget)
 
 
-def _finish(state: MarchState, budget: int, dir_prescale: float, path) -> TraceResult:
+def _finish(
+    state: MarchState, budget: int, dir_prescale: float, path,
+    per_ray_budget=None,
+) -> TraceResult:
     # ++iterations; end_iteration = budget - remaining (.cu:350-352, 953-956).
     # Rays still alive at driver exit have consumed their whole budget.
     end_remaining = jnp.where(state.alive, jnp.uint32(0), state.remaining)
-    end_iteration = jnp.uint32(budget) - end_remaining
+    if per_ray_budget is None:
+        budget_arr = jnp.uint32(budget)
+    else:
+        budget_arr = jnp.asarray(per_ray_budget, jnp.uint32)
+    end_iteration = budget_arr - end_remaining
     return TraceResult(
         end_position=state.pos,
         end_direction=state.direction / jnp.float32(dir_prescale),
         end_iteration=end_iteration,
         remaining_light=state.brightness,
         path=path,
+        transmittance=state.trans,
     )

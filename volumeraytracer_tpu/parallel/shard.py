@@ -239,6 +239,7 @@ def make_train_step(
     chunk_steps: int = 64,
     lr: float = 1e-3,
     axis: str = "rays",
+    accum_steps: int = 1,
 ):
     """Build a jitted sharded training step:
 
@@ -248,14 +249,51 @@ def make_train_step(
 
     Rays/targets sharded over ``axis``, field replicated, field gradient
     psum'd over the mesh — voxel-grad all-reduce over ICI (BASELINE config 4).
+
+    ``accum_steps > 1`` enables gradient accumulation: each shard's ray batch
+    is split into ``accum_steps`` micro-batches marched sequentially with the
+    field gradient accumulated LOCALLY, and the cross-device ``psum`` fires
+    once per optimizer step instead of once per micro-batch — the
+    communication-amortisation knob the 2-host scaling model
+    (benchmarks/scaling_model.md) relies on: the DCN all-reduce cost is paid
+    1/accum_steps as often per marched ray.  The per-shard batch size must be
+    divisible by ``accum_steps``.
     """
 
     def per_shard_grad(ior, pos_s, dirs_s, target_s, count):
-        def loss_fn(f):
-            end_pos, _ = endpoint_render(f, pos_s, dirs_s, budget, invscale, chunk_steps)
-            return jnp.sum((end_pos - target_s) ** 2) / count
+        def micro_grad(p, d, t):
+            def loss_fn(f):
+                end_pos, _ = endpoint_render(f, p, d, budget, invscale, chunk_steps)
+                return jnp.sum((end_pos - t) ** 2) / count
 
-        return jax.value_and_grad(loss_fn)(ior)
+            return jax.value_and_grad(loss_fn)(ior)
+
+        if accum_steps == 1:
+            return micro_grad(pos_s, dirs_s, target_s)
+
+        n = pos_s.shape[0]
+        assert n % accum_steps == 0, (
+            f"per-shard batch {n} not divisible by accum_steps {accum_steps}"
+        )
+        m = n // accum_steps
+        micros = (
+            pos_s.reshape(accum_steps, m, -1),
+            dirs_s.reshape(accum_steps, m, -1),
+            target_s.reshape(accum_steps, m, -1),
+        )
+
+        def body(carry, micro):
+            loss_acc, g_acc = carry
+            loss, g = micro_grad(*micro)
+            return (loss_acc + loss, jax.tree.map(jnp.add, g_acc, g)), None
+
+        # the accumulators are device-varying (each shard sums its own
+        # micro-batches); pcast the replicated zeros into the varying type
+        init = jax.lax.pcast(
+            (jnp.float32(0.0), jnp.zeros_like(ior)), (axis,), to="varying"
+        )
+        (loss, g), _ = jax.lax.scan(body, init, micros)
+        return loss, g
 
     @functools.partial(
         jax.shard_map,
@@ -268,7 +306,8 @@ def make_train_step(
         loss, g = per_shard_grad(ior, pos_s, dirs_s, target_s, count)
         # voxel-gradient all-reduce (≙ BASELINE "voxel-grad all-reduce
         # overlapped with backward march"; XLA schedules the psum against
-        # the remat'd backward chunks)
+        # the remat'd backward chunks).  With accumulation this is the ONE
+        # collective per optimizer step.
         return jax.lax.psum(loss, axis), jax.lax.psum(g, axis)
 
     @jax.jit

@@ -103,6 +103,10 @@ class TraceResult:
     #: Pallas-kernel scheduler windows consumed per ray tile (None on XLA
     #: paths); == the kernel's max_windows cap ⇒ the march was truncated
     windows_used: Optional[jax.Array] = None
+    #: (N,) float32 soft transmittance — only set by the XLA float march
+    #: when ``soft_opacity_tau`` is given (the differentiable relaxation of
+    #: the hard opaque-surface break, SURVEY.md §7)
+    transmittance: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass
