@@ -637,24 +637,46 @@ def _bwd_impl(
 
 @functools.lru_cache(maxsize=32)
 def _make_vjp_fn(budget, bend, step, min_bright, has_absorb, k_steps,
-                 max_windows, interpret):
+                 max_windows, interpret, layout="points"):
     """custom_vjp'd (packed, pos, dirs, absorb) → TraceResult fields for
     fixed static march parameters (cached so repeated calls don't re-trace).
 
     ``absorb`` is always a float32 array (dummy zeros when has_absorb is
     False) so every primal input has a float cotangent; its gradient is zero
     (absorption affects brightness and termination only — both
-    straight-through)."""
+    straight-through).
+
+    ``layout`` selects the brick-table layout and kernel pair: "points"
+    (march_pallas/march_bwd) or "lines" (march_lines — the faster table
+    build/fold and single-M-tile gather, see kernels/line_table.py)."""
+
+    if layout == "lines":
+        from .march_lines import (
+            _bwd_impl_lines as bwd_impl_fn,
+            march_lines as march_fn,
+        )
+        from .line_table import (
+            build_line_table as build_fn,
+            fold_line_grads as fold_fn,
+            line_brick_grid as grid_fn,
+        )
+    else:
+        from .march_pallas import brick_grid as grid_fn
+
+        build_fn = build_brick_table
+        march_fn = march_pallas
+        bwd_impl_fn = _bwd_impl
+        fold_fn = fold_brickmajor_grads
 
     def fwd_impl(packed, pos, dirs, absorb):
-        # build the (expensive, 8×-duplicated) brick table ONCE and thread it
-        # through to the backward as a residual — the reverse replay reads the
-        # same table, and the build's big relayout transposes dominate the
-        # whole train step at 256³ if repeated
-        table, nb = build_brick_table(
+        # build the brick table ONCE and thread it through to the backward as
+        # a residual — the reverse replay reads the same table, and the
+        # build's relayout transposes dominate the whole train step at 256³
+        # if repeated
+        table, nb = build_fn(
             packed, absorb=absorb if has_absorb else None
         )
-        res, raw = march_pallas(
+        res, raw = march_fn(
             packed, pos, dirs, budget,
             bend_scale=np.asarray(bend, np.float32),
             step_scale=np.asarray(step, np.float32),
@@ -685,15 +707,13 @@ def _make_vjp_fn(budget, bend, step, min_bright, has_absorb, k_steps,
     def f_bwd(residuals, cot):
         packed, absorb, table, end_pos, end_dir, nexec = residuals
         d_pos, d_dir = cot[0], cot[1]  # int outputs carry no cotangent
-        from .march_pallas import brick_grid
-
-        nb = brick_grid(packed.shape)
-        gtable, d_pos0, d_dir0, _, windows_used = _bwd_impl(
+        nb = grid_fn(packed.shape)
+        gtable, d_pos0, d_dir0, _, windows_used = bwd_impl_fn(
             table, nb, end_pos, end_dir, nexec, d_pos, d_dir,
             bend=bend, step=step, k_steps=k_steps,
             max_windows=max_windows, interpret=interpret, budget=budget,
         )
-        d_packed = fold_brickmajor_grads(gtable, packed.shape, nb)
+        d_packed = fold_fn(gtable, packed.shape, nb)
         # Truncation is an ERROR, not a diagnostic: a tile that saturated
         # max_windows left partially propagated adjoints.  Poison every
         # gradient with NaN so the failure is loud (optimizers diverge,
@@ -726,6 +746,7 @@ def march_pallas_diff(
     k_steps: int = 16,
     max_windows: Optional[int] = None,
     interpret: bool = False,
+    layout: str = "points",
 ) -> TraceResult:
     """Differentiable Pallas march: a TraceResult whose ``end_position`` and
     ``end_direction`` carry gradients to ``packed``, ``start_position`` and
@@ -735,6 +756,7 @@ def march_pallas_diff(
     /root/reference/src/cuda_volume_raytracer.cu:335-349) including
     absorption; ``translucency``/``minimum_brightness`` influence only the
     non-differentiable outputs and termination (straight-through).
+    ``layout``: "points" or "lines" (see ``_make_vjp_fn``).
     """
     bend = tuple(
         float(v) for v in np.broadcast_to(np.asarray(bend_scale, np.float32), (3,))
@@ -751,7 +773,7 @@ def march_pallas_diff(
     f = _make_vjp_fn(
         int(budget), bend, step, int(minimum_brightness), has_absorb,
         int(k_steps), max_windows if max_windows is None else int(max_windows),
-        bool(interpret),
+        bool(interpret), str(layout),
     )
     end_pos, end_dir, end_iter, light, windows = f(
         packed, start_position, start_direction, absorb

@@ -1,0 +1,973 @@
+"""Pallas TPU march kernels over the LINE-major brick table.
+
+Same physics and scheduler as the point-grid kernels (march_pallas.py /
+march_bwd.py — the reference hot loop, /root/reference/src/
+cuda_volume_raytracer.cu:317-374, and its new reverse-replay adjoint), but the
+resident brick is the line table of ``line_table.py``:
+
+    brick[z*TCH + c, px*LPY + py]  —  (LS=72, LL=128) per 10×10×8-cell brick
+
+which changes the per-window refresh from
+
+    point:  8 lane-rolled corner copies + one-hot(K=1408) @ (RCH=64, PVP)
+            (11 MXU K-tiles per sublane, 2.9 MB rolled-copy scratch)
+to
+    lines:  ONE (72, 128) @ (128, 4·128) matmul per sublane — the 4 one-hot
+            column blocks select the (dx, dy) corner LINES (lane offsets
+            0 / 1 / LPY / LPY+1) — followed by a 9-iteration per-window
+            z-mask selecting the (z, z+1) corner pair from each gathered
+            line.  M = 72 ≤ 128: a single MXU M-tile, no rolls, no rolled-
+            copy scratch (VMEM drops ~5 MB across the kernel pair).
+
+The backward's transpose-scatter becomes the mirror image: z-SPREAD the
+per-corner gradients onto line rows, then one ``dG @ onehotᵀ`` per sublane;
+the flush needs no corner roll-fold — the accumulator already is point-grad
+lines, RMW-DMA'd straight into the (NB, LS, LL) gradient table and folded
+densely by ``fold_line_grads``.
+
+Numerics are identical to the point kernels (bf16 hi/lo split table rows,
+DEFAULT-precision single-pass matmuls, runtime hi/lo split of the scatter
+rows); parity is asserted against both the point kernels and the XLA march
+in tests/test_lines.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..types import TraceResult
+from .march_pallas import (
+    ABSORB_CH,
+    BRIGHT_MAX_F,
+    DEAD_ID,
+    LCH,
+    NLO,
+    R,
+    RL,
+    RS,
+    TCH,
+    absorption_fraction,
+)
+from .line_table import (
+    LBX,
+    LBY,
+    LBZ,
+    LINE_OFF,
+    LL,
+    LPY,
+    LPZ,
+    LS,
+    NLINES,
+    build_line_table,
+    fold_line_grads,
+    line_brick_grid,
+)
+
+# gradient accumulator rows: same (z, channel) line layout as the forward
+# table — rows c ∈ {0,1,2} carry the packed-field gradient channels, row 3
+# the (straight-through, zero) opacity slot, rows 4-7 stay zero
+GLS = LS
+
+
+def _corner_lines(lin_s: jax.Array) -> jax.Array:
+    """(1, RL) anchor line ids → (1, 4·RL) corner line ids in LINE_OFF order."""
+    return jnp.concatenate([lin_s + o for o in LINE_OFF], axis=1)
+
+
+def _zselect(G: jax.Array, lz4: jax.Array):
+    """Per-window z-selection of the (z, z+1) corner pair from gathered lines.
+
+    G: (LS, RS, 4·RL) — all LPZ z-points × TCH channels of the 4 corner
+    lines, per sublane.  lz4: (RS, 4·RL) anchor z (tiled over the 4 line
+    blocks).  Returns (acc0, acc1): (TCH, RS, 4·RL) channel rows at z = lz
+    and z = lz+1.  A 9-iteration static mask loop — the anchor cell is fixed
+    within a window, so this runs once per window, not per step.
+    """
+    lz4 = lz4[None]  # (1, RS, 4RL)
+    acc0 = jnp.zeros((TCH,) + G.shape[1:], jnp.float32)
+    acc1 = jnp.zeros((TCH,) + G.shape[1:], jnp.float32)
+    prev = None
+    for z in range(LPZ):
+        m = (lz4 == z).astype(jnp.float32)
+        blk = G[z * TCH : (z + 1) * TCH]
+        acc0 = acc0 + blk * m
+        if prev is not None:
+            acc1 = acc1 + blk * prev
+        prev = m
+    return acc0, acc1
+
+
+def _corner_channels(acc0: jax.Array, acc1: jax.Array):
+    """(acc0, acc1) → per-corner channel rows ``chv[o][c]`` of (RS, RL), in
+    the product((0,1)^3) corner order of the point kernels (dz fastest), with
+    the bf16 hi/lo gradient rows combined; plus the corner-0 absorption row."""
+    chv = []
+    for dx_ in (0, 1):
+        for dy_ in (0, 1):
+            j = dx_ * 2 + dy_
+            sl = slice(j * RL, (j + 1) * RL)
+            for acc in (acc0, acc1):  # dz = 0, 1
+                chv.append(
+                    [acc[c, :, sl] + acc[LCH + c, :, sl] for c in range(NLO)]
+                    + [acc[3, :, sl]]
+                )
+    absorb_row = acc0[ABSORB_CH, :, 0:RL]
+    return chv, absorb_row
+
+
+def _march_kernel_lines(
+    # inputs
+    table_ref,  # (NB, LS, LL) f32 in ANY/HBM
+    px_ref, py_ref, pz_ref,  # (8, 128) f32 blocks
+    dx_ref, dy_ref, dz_ref,
+    rem_ref, alive_ref,  # (8, 128) i32 blocks
+    br_ref,
+    # outputs
+    opx_ref, opy_ref, opz_ref, odx_ref, ody_ref, odz_ref,
+    orem_ref, oalive_ref, obr_ref, ow_ref,
+    # scratch
+    brick_ref,  # (RS, LS, LL) f32 per-sublane resident line bricks
+    dma_sem,
+    *,
+    max_windows: int,
+    k_steps: int,
+    bounds: Tuple[int, int, int],
+    nb: Tuple[int, int, int],
+    bend: Tuple[float, float, float],
+    step: Tuple[float, float, float],
+    min_bright: float,
+    has_absorb: bool,
+    precision,
+):
+    xb = jnp.float32(bounds[0] - 1)
+    yb = jnp.float32(bounds[1] - 1)
+    zb = jnp.float32(bounds[2] - 1)
+    bendx, bendy, bendz = (jnp.float32(b) for b in bend)
+    stepx, stepy, stepz = (jnp.float32(s) for s in step)
+    nbx, nby, nbz = (jnp.int32(v) for v in nb)
+    minb = jnp.float32(min_bright)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (LL, 4 * RL), 0)
+
+    state0 = (
+        px_ref[:], py_ref[:], pz_ref[:],
+        dx_ref[:], dy_ref[:], dz_ref[:],
+        rem_ref[:],
+        alive_ref[:],
+        br_ref[:],
+    )
+
+    def cond(carry):
+        w, prev_ids, state = carry
+        return (w < max_windows) & jnp.any(state[7] != 0)
+
+    def window_body(carry):
+        w, prev_ids, state = carry
+        px, py, pz, dx, dy, dz, rem, alive, br = state
+
+        # window-level liveness reap (see march_pallas)
+        inb = (
+            (px >= 0) & (px < xb) & (py >= 0) & (py < yb) & (pz >= 0) & (pz < zb)
+        )
+        alive = jnp.where(inb & (rem > 0), alive, 0)
+
+        fpx = jnp.floor(px)
+        fpy = jnp.floor(py)
+        fpz = jnp.floor(pz)
+        cbx = jnp.clip(fpx.astype(jnp.int32) // LBX, 0, nbx - 1)
+        cby = jnp.clip(fpy.astype(jnp.int32) // LBY, 0, nby - 1)
+        cbz = jnp.clip(fpz.astype(jnp.int32) // LBZ, 0, nbz - 1)
+        ids = (cbx * nby + cby) * nbz + cbz
+        ids = jnp.where(alive != 0, ids, DEAD_ID)
+        cur_min = jnp.min(ids, axis=1, keepdims=True)  # (8, 1)
+        changed_v = (cur_min != prev_ids) & (cur_min != DEAD_ID)
+
+        # overlapped conditional brick DMAs — no rolled copies in the line
+        # layout: the gather matmul reads brick_ref directly
+        @pl.when(jnp.any(changed_v))
+        def _():
+            curs = [cur_min[s, 0] for s in range(RS)]
+            prevs = [prev_ids[s, 0] for s in range(RS)]
+            for s in range(RS):
+                @pl.when((curs[s] != prevs[s]) & (curs[s] != DEAD_ID))
+                def _(s=s):
+                    pltpu.make_async_copy(
+                        table_ref.at[pl.ds(curs[s], 1)],
+                        brick_ref.at[pl.ds(s, 1)],
+                        dma_sem.at[s],
+                    ).start()
+            for s in range(RS):
+                @pl.when((curs[s] != prevs[s]) & (curs[s] != DEAD_ID))
+                def _(s=s):
+                    pltpu.make_async_copy(
+                        table_ref.at[pl.ds(curs[s], 1)],
+                        brick_ref.at[pl.ds(s, 1)],
+                        dma_sem.at[s],
+                    ).wait()
+        new_ids = jnp.where(cur_min != DEAD_ID, cur_min, prev_ids)
+
+        cur_col = jnp.broadcast_to(cur_min, (RS, RL))
+        in_cur = (alive != 0) & (ids == cur_col)
+
+        # local cell coords inside each sublane's brick
+        b2 = cur_col // nbz
+        oxf = ((b2 // nby) * LBX).astype(jnp.float32)
+        oyf = ((b2 % nby) * LBY).astype(jnp.float32)
+        ozf = ((cur_col % nbz) * LBZ).astype(jnp.float32)
+        lx = jnp.clip((fpx - oxf).astype(jnp.int32), 0, LBX - 1)
+        ly = jnp.clip((fpy - oyf).astype(jnp.int32), 0, LBY - 1)
+        lz = jnp.clip((fpz - ozf).astype(jnp.int32), 0, LBZ - 1)
+        lin = lx * LPY + ly  # anchor LINE id, (8, 128) in [0, NLINES)
+
+        # ---- refresh: one 4-block one-hot line-gather matmul per sublane,
+        # then the per-window z-selection (module docstring) ----
+        parts = []
+        for s in range(RS):
+            onehot = (iota == _corner_lines(lin[s : s + 1, :])).astype(
+                jnp.float32
+            )
+            parts.append(
+                jax.lax.dot_general(
+                    brick_ref[s],
+                    onehot,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+            )  # (LS, 4RL)
+        G = jnp.stack(parts, axis=1)  # (LS, RS, 4RL)
+        lz4 = jnp.concatenate([lz] * 4, axis=1)  # (RS, 4RL)
+        acc0, acc1 = _zselect(G, lz4)
+        chv, absorb_row = _corner_channels(acc0, acc1)
+
+        basex, basey, basez = fpx, fpy, fpz
+        evaluable_w = in_cur & (alive != 0)
+
+        def step_body(k, carry):
+            px, py, pz, dx, dy, dz, rem, alive, br = carry
+            fx = px - basex
+            fy = py - basey
+            fz = pz - basez
+            crossed = (
+                (fx < 0) | (fx >= 1.0) | (fy < 0) | (fy >= 1.0) | (fz < 0) | (fz >= 1.0)
+            )
+            rem_ok = rem > 0
+            cond_l = evaluable_w & ~crossed & rem_ok
+
+            if has_absorb:
+                nbr = jnp.maximum(br - absorb_row, 0.0)
+                br = jnp.where(cond_l & (alive != 0), nbr, br)
+                dark = br < minb
+            else:
+                dark = False
+
+            gx = 1.0 - fx
+            gy = 1.0 - fy
+            gz = 1.0 - fz
+            wts = (
+                gx * gy * gz, gx * gy * fz, gx * fy * gz, gx * fy * fz,
+                fx * gy * gz, fx * gy * fz, fx * fy * gz, fx * fy * fz,
+            )
+            interp = [jnp.zeros((RS, RL), jnp.float32) for _ in range(4)]
+            for o in range(8):
+                for c in range(4):
+                    interp[c] = interp[c] + wts[o] * chv[o][c]
+
+            opaque = interp[3] > 0.0
+            if has_absorb:
+                ok = cond_l & ~dark & ~opaque
+            else:
+                ok = cond_l & ~opaque
+            alive_b = ok | (~(evaluable_w & ~crossed) & ((alive != 0) & rem_ok))
+            alive = alive_b.astype(jnp.int32)
+
+            ndx = dx + interp[0] * bendx
+            ndy = dy + interp[1] * bendy
+            ndz = dz + interp[2] * bendz
+            ilen = 1.0 / (ndx * ndx + ndy * ndy + ndz * ndz)
+            px = jnp.where(ok, px + ndx * stepx * ilen, px)
+            py = jnp.where(ok, py + ndy * stepy * ilen, py)
+            pz = jnp.where(ok, pz + ndz * stepz * ilen, pz)
+            dx = jnp.where(ok, ndx, dx)
+            dy = jnp.where(ok, ndy, dy)
+            dz = jnp.where(ok, ndz, dz)
+            rem = rem - ok.astype(jnp.int32)
+            return px, py, pz, dx, dy, dz, rem, alive, br
+
+        # chunked step loop with early exit (see march_pallas)
+        step_chunk = 8 if k_steps % 8 == 0 else k_steps
+        n_chunks = k_steps // step_chunk
+
+        def ch_cond(c):
+            j, cont, _ = c
+            return (j < n_chunks) & cont
+
+        def ch_body(c):
+            j, _, s = c
+            s = jax.lax.fori_loop(0, step_chunk, step_body, s)
+            fx2 = s[0] - basex
+            fy2 = s[1] - basey
+            fz2 = s[2] - basez
+            crossed2 = (
+                (fx2 < 0) | (fx2 >= 1.0) | (fy2 < 0) | (fy2 >= 1.0)
+                | (fz2 < 0) | (fz2 >= 1.0)
+            )
+            cont = jnp.any(evaluable_w & ~crossed2 & (s[6] > 0))
+            return j + 1, cont, s
+
+        _, _, state = jax.lax.while_loop(
+            ch_cond,
+            ch_body,
+            (
+                jnp.int32(0),
+                jnp.asarray(True),
+                (px, py, pz, dx, dy, dz, rem, alive, br),
+            ),
+        )
+        return w + 1, new_ids, state
+
+    w, _, state = jax.lax.while_loop(
+        cond, window_body, (jnp.int32(0), jnp.full((RS, 1), -1, jnp.int32), state0)
+    )
+    px, py, pz, dx, dy, dz, rem, alive, br = state
+
+    opx_ref[:] = px
+    opy_ref[:] = py
+    opz_ref[:] = pz
+    odx_ref[:] = dx
+    ody_ref[:] = dy
+    odz_ref[:] = dz
+    orem_ref[:] = rem
+    oalive_ref[:] = alive
+    obr_ref[:] = br
+    ow_ref[:] = jnp.full((RS, RL), 1, jnp.int32) * w
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "budget", "k_steps", "max_windows", "interpret",
+        "bounds", "nb", "bend", "step", "min_bright", "has_absorb",
+        "n_tiles", "precision",
+    ),
+)
+def _march_call_lines(
+    table, px, py, pz, dx, dy, dz, rem, alive, br,
+    *, budget, k_steps, max_windows, interpret, bounds, nb, bend, step,
+    min_bright, has_absorb, n_tiles, precision,
+):
+    kernel = functools.partial(
+        _march_kernel_lines,
+        max_windows=max_windows,
+        k_steps=k_steps,
+        bounds=bounds,
+        nb=nb,
+        bend=bend,
+        step=step,
+        min_bright=min_bright,
+        has_absorb=has_absorb,
+        precision=precision,
+    )
+    n = n_tiles * R
+    state_spec = pl.BlockSpec((RS, RL), lambda t: (t, 0))
+    f32s = jax.ShapeDtypeStruct((n // RL, RL), jnp.float32)
+    i32s = jax.ShapeDtypeStruct((n // RL, RL), jnp.int32)
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # line table stays in HBM
+            *[state_spec] * 9,
+        ],
+        out_specs=[state_spec] * 10,
+        out_shape=[f32s] * 6 + [i32s, i32s, f32s, i32s],
+        scratch_shapes=[
+            pltpu.VMEM((RS, LS, LL), jnp.float32),
+            pltpu.SemaphoreType.DMA((RS,)),
+        ],
+        interpret=interpret,
+    )
+    return call(table, px, py, pz, dx, dy, dz, rem, alive, br)
+
+
+def _sort_by_line_brick(pos, nb, valid):
+    """One locality sort by line-brick id; returns (order, inverse)."""
+    cells = jnp.asarray(
+        [c * b for c, b in zip(nb, (LBX, LBY, LBZ))], jnp.int32
+    )
+    cell = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, cells - 1)
+    b = cell // jnp.asarray([LBX, LBY, LBZ], jnp.int32)
+    brick = (b[:, 0] * nb[1] + b[:, 1]) * nb[2] + b[:, 2]
+    brick = jnp.where(valid, brick, DEAD_ID)
+    order = jnp.argsort(brick)
+    return order, jnp.argsort(order)
+
+
+def march_lines(
+    packed: jax.Array,
+    start_position: jax.Array,
+    start_direction: jax.Array,
+    budget: int,
+    *,
+    bend_scale,
+    step_scale,
+    translucency: Optional[jax.Array] = None,
+    absorb: Optional[jax.Array] = None,
+    minimum_brightness: int = 0,
+    k_steps: int = 16,
+    max_windows: Optional[int] = None,
+    interpret: bool = False,
+    sort_rays: bool = True,
+    precision=jax.lax.Precision.DEFAULT,
+    table: Optional[jax.Array] = None,
+    nb: Optional[Tuple[int, int, int]] = None,
+    return_state: bool = False,
+) -> TraceResult:
+    """Forward float march using the line-walking kernel.
+
+    Same contract as ``march_pallas`` (semantics of ``ops.march.march_float``
+    with ``opaque_when_positive=True``); ``table``/``nb`` must come from
+    ``build_line_table``.
+    """
+    assert packed.ndim == 4 and packed.shape[-1] == 4, "3D packed field required"
+    n_in, dim = start_position.shape
+    assert dim == 3
+    bounds = tuple(int(s) for s in packed.shape[:-1])
+    bend = tuple(float(b) for b in np.broadcast_to(np.asarray(bend_scale, np.float32), (3,)))
+    step = tuple(float(s) for s in np.broadcast_to(np.asarray(step_scale, np.float32), (3,)))
+
+    if table is None:
+        table, nb = build_line_table(packed, translucency, absorb=absorb)
+    assert nb is not None
+    has_absorb = translucency is not None or absorb is not None
+
+    n = -(-n_in // R) * R
+    pad = n - n_in
+    pos = jnp.pad(start_position.astype(jnp.float32), ((0, pad), (0, 0)))
+    dirs = jnp.pad(
+        start_direction.astype(jnp.float32), ((0, pad), (0, 0)), constant_values=1.0
+    )
+    alive = jnp.concatenate(
+        [jnp.ones((n_in,), jnp.int32), jnp.zeros((pad,), jnp.int32)]
+    )
+    if sort_rays:
+        order, inv = _sort_by_line_brick(pos, nb, alive != 0)
+        pos, dirs, alive = pos[order], dirs[order], alive[order]
+    else:
+        inv = None
+
+    # budget-1: see march_pallas (start path entry, .cu:333)
+    rem = jnp.full((n,), budget - 1, jnp.int32)
+    br = jnp.ones((n,), jnp.float32)
+    if max_windows is None:
+        max_windows = 2 * budget + 64
+
+    rows = n // RL
+    outs = _march_call_lines(
+        table,
+        pos[:, 0].reshape(rows, RL), pos[:, 1].reshape(rows, RL),
+        pos[:, 2].reshape(rows, RL),
+        dirs[:, 0].reshape(rows, RL), dirs[:, 1].reshape(rows, RL),
+        dirs[:, 2].reshape(rows, RL),
+        rem.reshape(rows, RL), alive.reshape(rows, RL), br.reshape(rows, RL),
+        budget=budget, k_steps=k_steps, max_windows=max_windows,
+        interpret=interpret, bounds=bounds, nb=nb, bend=bend, step=step,
+        min_bright=float(minimum_brightness) / BRIGHT_MAX_F,
+        has_absorb=has_absorb,
+        n_tiles=n // R, precision=precision,
+    )
+    windows_used = outs[9][:: R // RL, 0]
+    outs = [o.reshape(n) for o in outs[:9]]
+    if inv is not None:
+        outs = [o[inv] for o in outs]
+    px, py, pz, dx, dy, dz, rem, alive, br = outs
+
+    end_pos = jnp.stack([px, py, pz], axis=-1)[:n_in]
+    end_dir = jnp.stack([dx, dy, dz], axis=-1)[:n_in]
+    rem = rem[:n_in]
+    alive = alive[:n_in]
+    br = br[:n_in]
+    end_remaining = jnp.where(alive != 0, 0, rem).astype(jnp.uint32)
+    end_iteration = jnp.uint32(budget) - end_remaining
+    remaining_light = jnp.where(
+        br >= 1.0,
+        jnp.uint32(0xFFFFFFFF),
+        (br * BRIGHT_MAX_F).astype(jnp.uint32),
+    )
+    result = TraceResult(
+        end_position=end_pos,
+        end_direction=end_dir,
+        end_iteration=end_iteration,
+        remaining_light=remaining_light,
+        path=None,
+        windows_used=windows_used,
+    )
+    if return_state:
+        return result, {"remaining": rem, "alive": alive}
+    return result
+
+
+# ---------------------------------------------------------------------------
+# backward (reverse-replay adjoint) — line-table variant of march_bwd
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel_lines(
+    # inputs
+    table_ref,  # (NB, LS, LL) f32 ANY/HBM — forward line table
+    gin_ref,  # (NB, GLS, LL) f32 ANY/HBM — zeros, aliased to gout_ref
+    px_ref, py_ref, pz_ref,
+    vx_ref, vy_ref, vz_ref,
+    rrem_ref,
+    apx_ref, apy_ref, apz_ref,
+    avx_ref, avy_ref, avz_ref,
+    # outputs
+    gout_ref,  # (NB, GLS, LL) f32 ANY/HBM — line-major point-grad table
+    oax_ref, oay_ref, oaz_ref,
+    obx_ref, oby_ref, obz_ref,
+    orx_ref, ory_ref, orz_ref,
+    ow_ref,
+    # scratch
+    brick_ref,  # (RS, LS, LL)
+    gbrick_ref,  # (RS, GLS, LL) per-sublane grad accumulators (line rows)
+    tmp_ref,  # (1, GLS, LL) RMW staging
+    dma_sem, g_sem,
+    *,
+    max_windows: int,
+    k_steps: int,
+    nb: Tuple[int, int, int],
+    bend: Tuple[float, float, float],
+    step: Tuple[float, float, float],
+    precision,
+):
+    ex, ey, ez = (jnp.float32(b) for b in bend)
+    sx, sy, sz = (jnp.float32(s) for s in step)
+    nbx, nby, nbz = (jnp.int32(v) for v in nb)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (LL, 4 * RL), 0)
+
+    gbrick_ref[:] = jnp.zeros((RS, GLS, LL), jnp.float32)
+
+    def _flush(s, brick_id):
+        """Serialized RMW-accumulate of sublane s's line-row grads into HBM —
+        no corner roll-fold needed: the rows already address brick points."""
+        rd = pltpu.make_async_copy(
+            gout_ref.at[pl.ds(brick_id, 1)], tmp_ref, g_sem
+        )
+        rd.start()
+        rd.wait()
+        tmp_ref[0] = tmp_ref[0] + gbrick_ref[s]
+        wr = pltpu.make_async_copy(
+            tmp_ref, gout_ref.at[pl.ds(brick_id, 1)], g_sem
+        )
+        wr.start()
+        wr.wait()
+        gbrick_ref[s] = jnp.zeros((GLS, LL), jnp.float32)
+
+    state0 = (
+        px_ref[:], py_ref[:], pz_ref[:],
+        vx_ref[:], vy_ref[:], vz_ref[:],
+        apx_ref[:], apy_ref[:], apz_ref[:],
+        avx_ref[:], avy_ref[:], avz_ref[:],
+        rrem_ref[:],
+    )
+
+    def cond(carry):
+        w, prev_ids, state = carry
+        return (w < max_windows) & jnp.any(state[12] > 0)
+
+    def window_body(carry):
+        w, prev_ids, state = carry
+        px, py, pz, vx, vy, vz, ax, ay, az, bx, by, bz, rrem = state
+        live = rrem > 0
+
+        # reverse candidate anchors the window (see march_bwd)
+        ilen0 = 1.0 / (vx * vx + vy * vy + vz * vz)
+        cx = px - vx * sx * ilen0
+        cy = py - vy * sy * ilen0
+        cz = pz - vz * sz * ilen0
+        fpx = jnp.floor(cx)
+        fpy = jnp.floor(cy)
+        fpz = jnp.floor(cz)
+        cbx = jnp.clip(fpx.astype(jnp.int32) // LBX, 0, nbx - 1)
+        cby = jnp.clip(fpy.astype(jnp.int32) // LBY, 0, nby - 1)
+        cbz = jnp.clip(fpz.astype(jnp.int32) // LBZ, 0, nbz - 1)
+        ids = (cbx * nby + cby) * nbz + cbz
+        ids = jnp.where(live, ids, DEAD_ID)
+        cur_min = jnp.min(ids, axis=1, keepdims=True)
+        changed_v = cur_min != prev_ids
+
+        @pl.when(jnp.any(changed_v))
+        def _():
+            curs = [cur_min[s, 0] for s in range(RS)]
+            prevs = [prev_ids[s, 0] for s in range(RS)]
+            for s in range(RS):
+                @pl.when(
+                    (curs[s] != prevs[s])
+                    & (prevs[s] >= 0)
+                    & (prevs[s] != DEAD_ID)
+                )
+                def _(s=s):
+                    _flush(s, prevs[s])
+            for s in range(RS):
+                @pl.when((curs[s] != prevs[s]) & (curs[s] != DEAD_ID))
+                def _(s=s):
+                    pltpu.make_async_copy(
+                        table_ref.at[pl.ds(curs[s], 1)],
+                        brick_ref.at[pl.ds(s, 1)],
+                        dma_sem.at[s],
+                    ).start()
+            for s in range(RS):
+                @pl.when((curs[s] != prevs[s]) & (curs[s] != DEAD_ID))
+                def _(s=s):
+                    pltpu.make_async_copy(
+                        table_ref.at[pl.ds(curs[s], 1)],
+                        brick_ref.at[pl.ds(s, 1)],
+                        dma_sem.at[s],
+                    ).wait()
+        new_ids = cur_min  # DEAD adopted — its flush already ran
+
+        cur_col = jnp.broadcast_to(cur_min, (RS, RL))
+        in_cur = live & (ids == cur_col)
+
+        b2 = cur_col // nbz
+        oxf = ((b2 // nby) * LBX).astype(jnp.float32)
+        oyf = ((b2 % nby) * LBY).astype(jnp.float32)
+        ozf = ((cur_col % nbz) * LBZ).astype(jnp.float32)
+        lx = jnp.clip((fpx - oxf).astype(jnp.int32), 0, LBX - 1)
+        ly = jnp.clip((fpy - oyf).astype(jnp.int32), 0, LBY - 1)
+        lz = jnp.clip((fpz - ozf).astype(jnp.int32), 0, LBZ - 1)
+        lin = lx * LPY + ly
+
+        # gather (identical to the forward refresh); the one-hots are
+        # REBUILT at scatter time rather than kept live across the step loop
+        parts = []
+        for s in range(RS):
+            onehot = (iota == _corner_lines(lin[s : s + 1, :])).astype(
+                jnp.float32
+            )
+            parts.append(
+                jax.lax.dot_general(
+                    brick_ref[s],
+                    onehot,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+            )
+        G = jnp.stack(parts, axis=1)  # (LS, RS, 4RL)
+        lz4 = jnp.concatenate([lz] * 4, axis=1)
+        acc0, acc1 = _zselect(G, lz4)
+        chv_full, _ = _corner_channels(acc0, acc1)
+        chv = [rows[:NLO] for rows in chv_full]  # bwd needs the 3 grad rows
+
+        basex, basey, basez = fpx, fpy, fpz
+        evaluable_w = in_cur
+
+        zero = jnp.zeros((RS, RL), jnp.float32)
+        dC = [zero] * (8 * 3)  # corner grads, [o*3+c] layout
+
+        def step_body(k, carry):
+            (px, py, pz, vx, vy, vz, ax, ay, az, bx, by, bz, rrem, dC) = carry
+            ilen = 1.0 / (vx * vx + vy * vy + vz * vz)
+            candx = px - vx * sx * ilen
+            candy = py - vy * sy * ilen
+            candz = pz - vz * sz * ilen
+            fx = candx - basex
+            fy = candy - basey
+            fz = candz - basez
+            crossed = (
+                (fx < 0) | (fx >= 1.0) | (fy < 0) | (fy >= 1.0) | (fz < 0) | (fz >= 1.0)
+            )
+            ok = evaluable_w & ~crossed & (rrem > 0)
+
+            gx_ = 1.0 - fx
+            gy_ = 1.0 - fy
+            gz_ = 1.0 - fz
+            wts = (
+                gx_ * gy_ * gz_, gx_ * gy_ * fz, gx_ * fy * gz_, gx_ * fy * fz,
+                fx * gy_ * gz_, fx * gy_ * fz, fx * fy * gz_, fx * fy * fz,
+            )
+            yz = (gy_ * gz_, gy_ * fz, fy * gz_, fy * fz)
+            dwx = (-yz[0], -yz[1], -yz[2], -yz[3], yz[0], yz[1], yz[2], yz[3])
+            xz = (gx_ * gz_, gx_ * fz, fx * gz_, fx * fz)
+            dwy = (-xz[0], -xz[1], xz[0], xz[1], -xz[2], -xz[3], xz[2], xz[3])
+            xy = (gx_ * gy_, gx_ * fy, fx * gy_, fx * fy)
+            dwz = (-xy[0], xy[0], -xy[1], xy[1], -xy[2], xy[2], -xy[3], xy[3])
+
+            g0 = zero
+            g1 = zero
+            g2 = zero
+            for o in range(8):
+                g0 = g0 + wts[o] * chv[o][0]
+                g1 = g1 + wts[o] * chv[o][1]
+                g2 = g2 + wts[o] * chv[o][2]
+
+            nvx = vx - g0 * ex
+            nvy = vy - g1 * ey
+            nvz = vz - g2 * ez
+
+            t = sx * vx * ax + sy * vy * ay + sz * vz * az
+            il2 = ilen * ilen
+            ubx = bx + sx * ilen * ax - 2.0 * vx * il2 * t
+            uby = by + sy * ilen * ay - 2.0 * vy * il2 * t
+            ubz = bz + sz * ilen * az - 2.0 * vz * il2 * t
+            h0 = ex * ubx
+            h1 = ey * uby
+            h2 = ez * ubz
+
+            Gx = zero
+            Gy = zero
+            Gz = zero
+            okf = jnp.where(ok, 1.0, 0.0)
+            ndC = list(dC)
+            for o in range(8):
+                m = (
+                    chv[o][0] * h0
+                    + chv[o][1] * h1
+                    + chv[o][2] * h2
+                )
+                Gx = Gx + dwx[o] * m
+                Gy = Gy + dwy[o] * m
+                Gz = Gz + dwz[o] * m
+                wok = wts[o] * okf
+                ndC[o * 3 + 0] = dC[o * 3 + 0] + wok * h0
+                ndC[o * 3 + 1] = dC[o * 3 + 1] + wok * h1
+                ndC[o * 3 + 2] = dC[o * 3 + 2] + wok * h2
+
+            px = jnp.where(ok, candx, px)
+            py = jnp.where(ok, candy, py)
+            pz = jnp.where(ok, candz, pz)
+            vx = jnp.where(ok, nvx, vx)
+            vy = jnp.where(ok, nvy, vy)
+            vz = jnp.where(ok, nvz, vz)
+            ax = jnp.where(ok, ax + Gx, ax)
+            ay = jnp.where(ok, ay + Gy, ay)
+            az = jnp.where(ok, az + Gz, az)
+            bx = jnp.where(ok, ubx, bx)
+            by = jnp.where(ok, uby, by)
+            bz = jnp.where(ok, ubz, bz)
+            rrem = rrem - ok.astype(jnp.int32)
+            return (px, py, pz, vx, vy, vz, ax, ay, az, bx, by, bz, rrem, ndC)
+
+        step_chunk = 8 if k_steps % 8 == 0 else k_steps
+        n_chunks = k_steps // step_chunk
+
+        def ch_cond(c):
+            j, cont, _, _ = c
+            return (j < n_chunks) & cont
+
+        def ch_body(c):
+            j, _, s, dC = c
+            out = jax.lax.fori_loop(0, step_chunk, step_body, s + (dC,))
+            s = out[:13]
+            dC = out[13]
+            ilen2 = 1.0 / (s[3] * s[3] + s[4] * s[4] + s[5] * s[5])
+            fx2 = (s[0] - s[3] * sx * ilen2) - basex
+            fy2 = (s[1] - s[4] * sy * ilen2) - basey
+            fz2 = (s[2] - s[5] * sz * ilen2) - basez
+            crossed2 = (
+                (fx2 < 0) | (fx2 >= 1.0) | (fy2 < 0) | (fy2 >= 1.0)
+                | (fz2 < 0) | (fz2 >= 1.0)
+            )
+            cont = jnp.any(evaluable_w & ~crossed2 & (s[12] > 0))
+            return j + 1, cont, s, dC
+
+        _, _, state, dC = jax.lax.while_loop(
+            ch_cond,
+            ch_body,
+            (
+                jnp.int32(0),
+                jnp.asarray(True),
+                (px, py, pz, vx, vy, vz, ax, ay, az, bx, by, bz, rrem),
+                dC,
+            ),
+        )
+
+        # ---- transpose-scatter: z-SPREAD the corner grads onto line rows,
+        # then one dG @ onehotᵀ per sublane (the gather's transpose) ----
+        zerot = jnp.zeros((1, RS, RL), jnp.float32)
+
+        def dblock(dz_):
+            """(TCH, RS, 4RL): per-line channel rows of the dz corner grads."""
+            blocks = []
+            for dx_ in (0, 1):
+                for dy_ in (0, 1):
+                    o = dx_ * 4 + dy_ * 2 + dz_
+                    blocks.append(
+                        jnp.concatenate(
+                            [dC[o * 3 + c][None] for c in range(3)]
+                            + [zerot] * (TCH - 3),
+                            axis=0,
+                        )
+                    )  # (TCH, RS, RL)
+            return jnp.concatenate(blocks, axis=2)  # (TCH, RS, 4RL)
+
+        d0 = dblock(0)
+        d1 = dblock(1)
+        lz4e = lz4[None]  # (1, RS, 4RL)
+        rows = []
+        prev = None
+        for z in range(LPZ):
+            m = (lz4e == z).astype(jnp.float32)
+            row = d0 * m
+            if prev is not None:
+                row = row + d1 * prev
+            rows.append(row)
+            prev = m
+        dG = jnp.concatenate(rows, axis=0)  # (GLS, RS, 4RL)
+
+        for s in range(RS):
+            onehot = (iota == _corner_lines(lin[s : s + 1, :])).astype(
+                jnp.float32
+            )
+            d = dG[:, s, :]  # (GLS, 4RL)
+            # runtime hi/lo split (see march_bwd: grad rows are arbitrary
+            # f32; DEFAULT precision alone would round them to 2^-8)
+            dhi = d.astype(jnp.bfloat16).astype(jnp.float32)
+            dlo = d - dhi
+            contrib = jax.lax.dot_general(
+                dhi,
+                onehot,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            ) + jax.lax.dot_general(
+                dlo,
+                onehot,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )  # (GLS, LL)
+            gbrick_ref[s] = gbrick_ref[s] + contrib
+
+        return w + 1, new_ids, tuple(state)
+
+    w, last_ids, state = jax.lax.while_loop(
+        cond, window_body, (jnp.int32(0), jnp.full((RS, 1), -1, jnp.int32), state0)
+    )
+    for s in range(RS):
+        last_s = last_ids[s, 0]
+        @pl.when((last_s >= 0) & (last_s != DEAD_ID))
+        def _(s=s, last_s=last_s):
+            _flush(s, last_s)
+
+    (px, py, pz, vx, vy, vz, ax, ay, az, bx, by, bz, rrem) = state
+    oax_ref[:] = ax
+    oay_ref[:] = ay
+    oaz_ref[:] = az
+    obx_ref[:] = bx
+    oby_ref[:] = by
+    obz_ref[:] = bz
+    orx_ref[:] = px
+    ory_ref[:] = py
+    orz_ref[:] = pz
+    ow_ref[:] = jnp.full((RS, RL), 1, jnp.int32) * w
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k_steps", "max_windows", "interpret", "nb", "bend", "step",
+        "n_tiles", "precision",
+    ),
+)
+def _bwd_call_lines(
+    table, gzeros, px, py, pz, vx, vy, vz, rrem, apx, apy, apz, avx, avy, avz,
+    *, k_steps, max_windows, interpret, nb, bend, step, n_tiles, precision,
+):
+    kernel = functools.partial(
+        _bwd_kernel_lines,
+        max_windows=max_windows,
+        k_steps=k_steps,
+        nb=nb,
+        bend=bend,
+        step=step,
+        precision=precision,
+    )
+    n = n_tiles * R
+    rows = n // RL
+    state_spec = pl.BlockSpec((RS, RL), lambda t: (t, 0))
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    f32s = jax.ShapeDtypeStruct((rows, RL), jnp.float32)
+    i32s = jax.ShapeDtypeStruct((rows, RL), jnp.int32)
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[any_spec, any_spec, *[state_spec] * 13],
+        out_specs=[any_spec, *[state_spec] * 10],
+        out_shape=[
+            jax.ShapeDtypeStruct(gzeros.shape, jnp.float32),
+            *[f32s] * 9,
+            i32s,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((RS, LS, LL), jnp.float32),
+            pltpu.VMEM((RS, GLS, LL), jnp.float32),
+            pltpu.VMEM((1, GLS, LL), jnp.float32),
+            pltpu.SemaphoreType.DMA((RS,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )
+    return call(
+        table, gzeros, px, py, pz, vx, vy, vz, rrem, apx, apy, apz, avx, avy, avz
+    )
+
+
+def _bwd_impl_lines(
+    table, nb, end_pos, end_dir, nexec, d_pos, d_dir,
+    *, bend, step, k_steps, max_windows, interpret, budget,
+    precision=jax.lax.Precision.DEFAULT,
+):
+    """Run the line-layout adjoint kernel; mirrors ``march_bwd._bwd_impl``."""
+    n_bricks = int(table.shape[0])
+    n_in = end_pos.shape[0]
+    n = -(-n_in // R) * R
+    pad = n - n_in
+
+    pos = jnp.pad(end_pos.astype(jnp.float32), ((0, pad), (0, 0)))
+    dirs = jnp.pad(
+        end_dir.astype(jnp.float32), ((0, pad), (0, 0)), constant_values=1.0
+    )
+    ap = jnp.pad(d_pos.astype(jnp.float32), ((0, pad), (0, 0)))
+    av = jnp.pad(d_dir.astype(jnp.float32), ((0, pad), (0, 0)))
+    nex = jnp.pad(nexec.astype(jnp.int32), (0, pad))
+
+    order, inv = _sort_by_line_brick(pos, nb, nex > 0)
+    pos, dirs, ap, av, nex = (
+        pos[order], dirs[order], ap[order], av[order], nex[order]
+    )
+
+    if max_windows is None:
+        max_windows = 2 * budget + 64
+
+    rows = n // RL
+    gzeros = jnp.zeros((n_bricks, GLS, LL), jnp.float32)
+    outs = _bwd_call_lines(
+        table, gzeros,
+        pos[:, 0].reshape(rows, RL), pos[:, 1].reshape(rows, RL),
+        pos[:, 2].reshape(rows, RL),
+        dirs[:, 0].reshape(rows, RL), dirs[:, 1].reshape(rows, RL),
+        dirs[:, 2].reshape(rows, RL),
+        nex.reshape(rows, RL),
+        ap[:, 0].reshape(rows, RL), ap[:, 1].reshape(rows, RL),
+        ap[:, 2].reshape(rows, RL),
+        av[:, 0].reshape(rows, RL), av[:, 1].reshape(rows, RL),
+        av[:, 2].reshape(rows, RL),
+        k_steps=k_steps, max_windows=int(max_windows), interpret=interpret,
+        nb=nb, bend=bend, step=step, n_tiles=n // R, precision=precision,
+    )
+    gtable = outs[0]
+    windows_used = outs[10][:: R // RL, 0]
+    tiles = [o.reshape(n)[inv][:n_in] for o in outs[1:10]]
+    d_pos0 = jnp.stack(tiles[0:3], axis=-1)
+    d_dir0 = jnp.stack(tiles[3:6], axis=-1)
+    recon_pos = jnp.stack(tiles[6:9], axis=-1)
+    return gtable, d_pos0, d_dir0, recon_pos, windows_used

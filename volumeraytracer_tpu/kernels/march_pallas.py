@@ -569,9 +569,15 @@ def march_pallas(
     table: Optional[jax.Array] = None,
     nb: Optional[Tuple[int, int, int]] = None,
     return_state: bool = False,
+    layout: str = "points",
     _ablate: str = "",
 ) -> TraceResult:
     """Forward float march through ``packed`` using the brick-walking kernel.
+
+    ``layout="lines"`` dispatches to the line-table kernel
+    (``kernels.march_lines.march_lines`` — faster table build/fold, single-
+    M-tile gather); ``table``/``nb`` must then come from
+    ``line_table.build_line_table``.
 
     Semantics identical to ``ops.march.march_float(..., opaque_when_positive=
     True, nearest=False)`` including absorption/minimum-brightness
@@ -588,6 +594,19 @@ def march_pallas(
     alive-at-max_windows ray keeps remaining > 0, so ``end_iteration`` alone
     would overstate its executed steps).
     """
+    if layout == "lines":
+        from .march_lines import march_lines
+
+        assert not _ablate, "ablation probes are point-layout only"
+        return march_lines(
+            packed, start_position, start_direction, budget,
+            bend_scale=bend_scale, step_scale=step_scale,
+            translucency=translucency, absorb=absorb,
+            minimum_brightness=minimum_brightness, k_steps=k_steps,
+            max_windows=max_windows, interpret=interpret,
+            sort_rays=sort_rays, precision=precision,
+            table=table, nb=nb, return_state=return_state,
+        )
     assert packed.ndim == 4 and packed.shape[-1] == NCH, "3D packed field required"
     n_in, dim = start_position.shape
     assert dim == 3
