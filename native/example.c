@@ -10,6 +10,7 @@
 #include <math.h>
 #include <stdio.h>
 #include <stdlib.h>
+#include <stdint.h>
 
 #include "vrt_native.h"
 
@@ -20,7 +21,22 @@ int main(void) {
         const float n = 1.0f + (float)i / (float)(X - 1);
         for (int j = 0; j < Y * Z; ++j) ior[i * Y * Z + j] = n;
     }
-    vrt_scene* scene = vrt_scene_new(ior, X, Y, Z, NULL);
+    /* options get/set by integer key (≙ java_binding.cpp:322-381) */
+    vrt_options* opt = vrt_options_new();
+    if (vrt_options_get(opt, VRT_OPT_MINIMUM_DEVICE) != 0x80 ||
+        vrt_options_get(opt, VRT_OPT_MAX_CPU) != 256) {
+        fprintf(stderr, "FAIL: option defaults\n"); return 1;
+    }
+    vrt_options_set(opt, VRT_OPT_LOGLEVEL, 0);
+    vrt_options_set(opt, VRT_OPT_MAX_CPU, 4);
+    if (vrt_options_set(opt, 99, 1) != -1 ||
+        vrt_options_get(opt, 99) != INT64_MIN) {
+        fprintf(stderr, "FAIL: unknown option key must be rejected\n");
+        return 1;
+    }
+
+    vrt_scene* scene = vrt_scene_new_opt(ior, X, Y, Z, NULL, opt);
+    vrt_options_free(opt);
     if (!scene) { fprintf(stderr, "scene_new failed\n"); return 1; }
 
     float pos[3] = {1.0f, 4.0f, 4.0f};

@@ -21,6 +21,8 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
+#include <climits>
 #include <algorithm>
 
 #if defined(_OPENMP)
@@ -162,10 +164,42 @@ int vrt_solve_harmonic(double* values, const double* divisor,
 // then trace many ray batches in place.  Pure C ABI: callable from C, C++,
 // Java (JNI/Panama), C#, Rust, ... — see vrt_native.h.
 
+// Options block, get/set by integer key (≙ the reference Options struct
+// exposed over JNI by key, java_binding.cpp:322-381; types.h:83-91).
+struct vrt_options {
+    int64_t loglevel = 0;        // negative = more verbose
+    int64_t minimum_device = 0x80;  // ≙ _minimum_gpu
+    int64_t max_cpu = 256;       // ≙ _max_cpu
+};
+
+vrt_options* vrt_options_new(void) { return new vrt_options; }
+void vrt_options_free(vrt_options* opt) { delete opt; }
+
+int vrt_options_set(vrt_options* opt, int key, int64_t value) {
+    if (!opt) return -1;
+    switch (key) {
+        case 0: opt->loglevel = value; return 0;
+        case 1: opt->minimum_device = value; return 0;
+        case 2: opt->max_cpu = value; return 0;
+        default: return -1;
+    }
+}
+
+int64_t vrt_options_get(const vrt_options* opt, int key) {
+    if (!opt) return INT64_MIN;
+    switch (key) {
+        case 0: return opt->loglevel;
+        case 1: return opt->minimum_device;
+        case 2: return opt->max_cpu;
+        default: return INT64_MIN;
+    }
+}
+
 struct vrt_scene {
     int X, Y, Z;    // ior grid bounds
     float* ior;     // copy of the (X, Y, Z) grid (|v| = n initialisation)
     float* packed;  // (X-2, Y-2, Z-2, 4) preprocessed field
+    vrt_options opt;  // copy of the options used at build time
 };
 
 // 3x3 smoothing stamp perpendicular to the derivative axis and total
@@ -174,8 +208,18 @@ static const float VRT_STAMP[3][3] = {
     {14.f, 47.f, 14.f}, {47.f, 162.f, 47.f}, {14.f, 47.f, 14.f}};
 static const double VRT_STAMP_W = 812.0;
 
+vrt_scene* vrt_scene_new_opt(const float* ior, int X, int Y, int Z,
+                             const uint32_t* translucency,
+                             const vrt_options* opt);
+
 vrt_scene* vrt_scene_new(const float* ior, int X, int Y, int Z,
                          const uint32_t* translucency) {
+    return vrt_scene_new_opt(ior, X, Y, Z, translucency, nullptr);
+}
+
+vrt_scene* vrt_scene_new_opt(const float* ior, int X, int Y, int Z,
+                             const uint32_t* translucency,
+                             const vrt_options* opt) {
     if (!ior || X < 3 || Y < 3 || Z < 3) return nullptr;
     const long nvox = (long)X * Y * Z;
     for (long i = 0; i < nvox; ++i)
@@ -183,8 +227,19 @@ vrt_scene* vrt_scene_new(const float* ior, int X, int Y, int Z,
 
     vrt_scene* s = new vrt_scene;
     s->X = X; s->Y = Y; s->Z = Z;
+    if (opt) s->opt = *opt;
     s->ior = new float[nvox];
     std::memcpy(s->ior, ior, (size_t)nvox * sizeof(float));
+    if (s->opt.loglevel < -1) {
+        // field statistics at high verbosity (≙ image_util.cpp:562-573)
+        float mn = ior[0], mx = ior[0];
+        for (long i = 1; i < nvox; ++i) {
+            mn = ior[i] < mn ? ior[i] : mn;
+            mx = ior[i] > mx ? ior[i] : mx;
+        }
+        std::fprintf(stderr, "vrt_scene_new: bounds %dx%dx%d ior [%g, %g]\n",
+                     X, Y, Z, (double)mn, (double)mx);
+    }
 
     // ior_log = log(ior) * 0x420000 (image_util.cpp:611-614)
     float* L = new float[nvox];
@@ -244,6 +299,11 @@ void vrt_scene_trace(const vrt_scene* s, float* pos, float* dir,
                      uint32_t* iters, int n_rays, uint32_t budget,
                      const float* invscale, int normalize_length,
                      int nthreads) {
+    if (nthreads <= 0 && s->opt.max_cpu < 256)
+        nthreads = (int)s->opt.max_cpu;  // ≙ Options::_max_cpu cap
+    if (s->opt.loglevel < 0)
+        std::fprintf(stderr, "vrt_scene_trace: %d rays, budget %u\n",
+                     n_rays, budget);
     float bend[3], step[3];
     for (int a = 0; a < 3; ++a) {
         bend[a] = invscale[a] / 65536.0f;

@@ -21,6 +21,26 @@
 extern "C" {
 #endif
 
+/* ---- options (get/set by integer key) --------------------------------- */
+/* ≙ the reference's Options struct exposed over JNI by integer key
+ * (java_binding.cpp:322-381; types.h:83-91).  Negative loglevel = more
+ * verbose. */
+
+typedef struct vrt_options vrt_options;
+
+enum {
+    VRT_OPT_LOGLEVEL = 0,      /* ≙ Options::_loglevel */
+    VRT_OPT_MINIMUM_DEVICE = 1,/* ≙ Options::_minimum_gpu (default 0x80) */
+    VRT_OPT_MAX_CPU = 2        /* ≙ Options::_max_cpu (default 256) */
+};
+
+vrt_options* vrt_options_new(void);
+void vrt_options_free(vrt_options* opt);
+/* Returns 0 on success, -1 on unknown key. */
+int vrt_options_set(vrt_options* opt, int key, int64_t value);
+/* Returns the value, or INT64_MIN on unknown key. */
+int64_t vrt_options_get(const vrt_options* opt, int key);
+
 /* ---- scene API (build once, trace many) ------------------------------- */
 
 typedef struct vrt_scene vrt_scene;
@@ -35,6 +55,14 @@ typedef struct vrt_scene vrt_scene;
  * input (bounds < 3 or non-positive ior). */
 vrt_scene* vrt_scene_new(const float* ior, int X, int Y, int Z,
                          const uint32_t* translucency);
+
+/* As vrt_scene_new, honouring an options block (may be NULL = defaults):
+ * loglevel < 0 prints field statistics during the build (≙ the reference's
+ * loglevel < -1 min/max dumps, image_util.cpp:562-573); max_cpu caps the
+ * default OpenMP parallelism of vrt_scene_trace when nthreads <= 0. */
+vrt_scene* vrt_scene_new_opt(const float* ior, int X, int Y, int Z,
+                             const uint32_t* translucency,
+                             const vrt_options* opt);
 
 /* Trace n_rays rays IN PLACE (like the reference JNI trace_rays,
  * java_binding.cpp:84-169): pos/dir are (n_rays, 3) row-major float voxel

@@ -106,3 +106,33 @@ def test_native_scene_binding_opacity_and_errors():
         native.NativeScene(np.zeros((4, 4, 4), np.float32))  # ior <= 0
     with pytest.raises(ValueError):
         native.NativeScene(np.ones((2, 4, 4), np.float32))  # bounds < 3
+
+
+def test_native_options_by_key():
+    """Keyed options over the C ABI (≙ the reference's JNI option get/set by
+    integer key, java_binding.cpp:322-381): defaults, set/get round-trip,
+    unknown-key rejection, and scene construction with an options block."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    lib = native.load()
+    h = lib.vrt_options_new()
+    try:
+        assert lib.vrt_options_get(h, native.OPT_MINIMUM_DEVICE) == 0x80
+        assert lib.vrt_options_get(h, native.OPT_MAX_CPU) == 256
+        assert lib.vrt_options_set(h, native.OPT_LOGLEVEL, -2) == 0
+        assert lib.vrt_options_get(h, native.OPT_LOGLEVEL) == -2
+        assert lib.vrt_options_set(h, 99, 1) == -1
+        assert lib.vrt_options_get(h, 99) == -(2**63)
+    finally:
+        lib.vrt_options_free(h)
+
+    ior = np.ones((16, 8, 8), np.float32)
+    ns = native.NativeScene(ior, options={"max_cpu": 2, "loglevel": 0})
+    p, d, it = ns.trace_rays(
+        np.array([[2.0, 4.0, 4.0]], np.float32),
+        np.array([[16.0, 0.0, 0.0]], np.float32), 1000,
+    )
+    assert float(p[0, 0]) > 10.0  # marched through the constant volume
+    ns.close()
+    with pytest.raises(ValueError):
+        native.NativeScene(ior, options={"bogus": 1})

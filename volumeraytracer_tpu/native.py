@@ -77,8 +77,28 @@ def load() -> Optional[ctypes.CDLL]:
     lib.vrt_scene_bounds.restype = None
     lib.vrt_scene_free.argtypes = [ctypes.c_void_p]
     lib.vrt_scene_free.restype = None
+    # options by integer key (≙ java_binding.cpp:322-381)
+    lib.vrt_options_new.argtypes = []
+    lib.vrt_options_new.restype = ctypes.c_void_p
+    lib.vrt_options_free.argtypes = [ctypes.c_void_p]
+    lib.vrt_options_free.restype = None
+    lib.vrt_options_set.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int64]
+    lib.vrt_options_set.restype = ctypes.c_int
+    lib.vrt_options_get.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.vrt_options_get.restype = ctypes.c_int64
+    lib.vrt_scene_new_opt.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u32p, ctypes.c_void_p,
+    ]
+    lib.vrt_scene_new_opt.restype = ctypes.c_void_p
     _lib = lib
     return _lib
+
+
+#: option keys of the C ABI (vrt_native.h; ≙ the reference's integer keys
+#: over JNI, java_binding.cpp:322-381)
+OPT_LOGLEVEL = 0
+OPT_MINIMUM_DEVICE = 1
+OPT_MAX_CPU = 2
 
 
 def available() -> bool:
@@ -127,7 +147,11 @@ class NativeScene:
     new_instance/trace_rays/delete_instance, java_binding.cpp:179-304),
     exercised here through ctypes exactly as a C/Java/Rust host would."""
 
-    def __init__(self, ior: np.ndarray, translucency: Optional[np.ndarray] = None):
+    def __init__(self, ior: np.ndarray, translucency: Optional[np.ndarray] = None,
+                 options: Optional[dict] = None):
+        """``options``: optional {key: value} with keys from OPT_* (or the
+        string aliases "loglevel" / "minimum_device" / "max_cpu") — threaded
+        through the C ABI's keyed options block (vrt_options_set)."""
         lib = load()
         if lib is None:
             raise RuntimeError("native library unavailable")
@@ -139,9 +163,22 @@ class NativeScene:
             self._tr = np.ascontiguousarray(translucency, np.uint32)
             trp = self._tr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
         self._ior = ior  # keep alive during the C call
-        self._h = lib.vrt_scene_new(
-            _f32p(ior), *(int(s) for s in ior.shape), trp
+        opt_h = None
+        if options:
+            names = {"loglevel": OPT_LOGLEVEL,
+                     "minimum_device": OPT_MINIMUM_DEVICE,
+                     "max_cpu": OPT_MAX_CPU}
+            opt_h = lib.vrt_options_new()
+            for k, v in options.items():
+                key = names.get(k, -1) if isinstance(k, str) else int(k)
+                if lib.vrt_options_set(opt_h, key, int(v)) != 0:
+                    lib.vrt_options_free(opt_h)
+                    raise ValueError(f"unknown option key {k!r}")
+        self._h = lib.vrt_scene_new_opt(
+            _f32p(ior), *(int(s) for s in ior.shape), trp, opt_h
         )
+        if opt_h:
+            lib.vrt_options_free(opt_h)
         if not self._h:
             raise ValueError("vrt_scene_new rejected the scene "
                              "(bounds < 3 or non-positive ior)")
