@@ -7,10 +7,12 @@ image_io.cpp) and its debug consumer ``export_image_stack``
 volume, used to eyeball preprocessed fields in non-NDEBUG builds,
 image_util.cpp:443,453).
 
-No libpng dependency: PNGs are encoded/decoded directly with ``zlib``
-(8-bit grayscale / RGB / RGBA, the subset the reference writes).  JPEG is
-deliberately not reimplemented — the reference uses it only as an alternate
-debug dump format; npz covers lossless array capture.
+No libpng/libjpeg dependency: PNGs are encoded/decoded directly with
+``zlib`` (8-bit grayscale / RGB / RGBA, the subset the reference writes);
+JPEG (IMG_IO::load_jpeg/write_jpeg, image_io.h:19-22) is a from-scratch
+baseline codec in ``utils/jpeg.py`` (grayscale + 4:4:4 writer; baseline
+reader incl. subsampled files), re-exported here as
+``write_jpeg``/``read_jpeg``.
 """
 
 from __future__ import annotations
@@ -21,6 +23,8 @@ from pathlib import Path
 from typing import Optional, Union
 
 import numpy as np
+
+from .jpeg import read_jpeg, write_jpeg  # noqa: F401  (C17 parity surface)
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _COLOR_TYPE = {1: 0, 3: 2, 4: 6}  # channels -> PNG color type
@@ -144,21 +148,28 @@ def export_image_stack(
     axis: int = 0,
     lo: Optional[float] = None,
     hi: Optional[float] = None,
+    format: str = "png",
 ) -> int:
-    """Dump a 3D scalar volume as one grayscale PNG per slice — the debug
+    """Dump a 3D scalar volume as one grayscale image per slice — the debug
     workflow of export_image_stack (image_util.cpp:323-377).  2D volumes
-    produce a single image.  Returns the number of files written.
+    produce a single image.  ``format``: "png" (lossless) or "jpeg" (the
+    reference's alternate debug format, image_io.h:19-22).  Returns the
+    number of files written.
     """
+    if format not in ("png", "jpeg"):
+        raise ValueError(f"format must be 'png' or 'jpeg', got {format!r}")
+    write = write_png if format == "png" else write_jpeg
+    ext = format if format == "png" else "jpg"
     vol = np.asarray(volume)
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
     img8 = to_uint8(vol, lo, hi)
     if vol.ndim == 2:
-        write_png(directory / f"{prefix}_0000.png", img8)
+        write(directory / f"{prefix}_0000.{ext}", img8)
         return 1
     if vol.ndim != 3:
         raise ValueError(f"export_image_stack needs a 2D/3D volume, got {vol.ndim}D")
     img8 = np.moveaxis(img8, axis, 0)
     for i in range(img8.shape[0]):
-        write_png(directory / f"{prefix}_{i:04d}.png", img8[i])
+        write(directory / f"{prefix}_{i:04d}.{ext}", img8[i])
     return img8.shape[0]
