@@ -63,6 +63,11 @@ def build_rays(n_rays=N_RAYS, grid=GRID):
 
 def main():
     from volumeraytracer_tpu.parallel.shard import endpoint_render
+    from volumeraytracer_tpu.utils.profiling import enable_persistent_cache
+
+    # Mosaic compiles of the march kernels take minutes; cache them across
+    # processes so the bench measures the chip, not the compiler
+    enable_persistent_cache()
 
     ior = build_field()
     pos, dirs = build_rays()

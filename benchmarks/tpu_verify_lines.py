@@ -47,6 +47,8 @@ def camera_rays(n_rays, grid, seed=0, speed=16.0):
 
 
 def main():
+    from volumeraytracer_tpu.utils.profiling import enable_persistent_cache
+    enable_persistent_cache()
     assert jax.default_backend() in ("tpu", "axon"), jax.default_backend()
     REPORT["device"] = str(jax.devices()[0])
 

@@ -440,6 +440,8 @@ class RaytraceScene:
         else:
             p = pos - 1.0
         interpret = jax.default_backend() not in ("tpu", "axon")
+        from ..parallel.shard import PALLAS_LAYOUT
+
         if differentiable:
             from ..kernels.march_bwd import march_pallas_diff as march_fn
         else:
@@ -454,6 +456,7 @@ class RaytraceScene:
             translucency=self.translucency_cropped,
             minimum_brightness=minimum_brightness,
             interpret=interpret,
+            layout=PALLAS_LAYOUT,
         )
         return TraceResult(
             end_position=res.end_position + 1.0,

@@ -179,9 +179,17 @@ def trace_rays_sharded(
 # ---------------------------------------------------------------------------
 
 
+#: brick-table layout used by the production Pallas kernel pair: "lines"
+#: (kernels/march_lines.py) — hardware-verified in
+#: benchmarks/tpu_verify_lines.json (parity vs XLA: pos 7.6e-6, grads
+#: 3.3e-6, iterations exact; fused 256³ fwd+bwd 0.288 vs 0.244 Gsteps/s on
+#: the point layout, plus ~49 ms/step saved on table build + gradient fold)
+PALLAS_LAYOUT = "lines"
+
+
 def endpoint_render(
     ior, positions, directions, budget: int, invscale: float, chunk_steps: int,
-    kernel: str = "auto",
+    kernel: str = "auto", layout: Optional[str] = None,
 ):
     """Differentiable forward: preprocess the field, |v|=n-init the rays,
     march, return per-ray endpoints (the reference's output contract —
@@ -216,6 +224,7 @@ def endpoint_render(
             step_scale=float(invscale) * (STEP_CONST / float(FIX_ONE) / float(FIX_ONE)),
             k_steps=32,
             interpret=jax.default_backend() not in ("tpu", "axon"),
+            layout=layout or PALLAS_LAYOUT,
         )
     else:
         res = march_ops.march_float(

@@ -117,3 +117,17 @@ def benchmark(
     if steps:
         rep["steps_per_s"] = steps / dt
     return rep
+
+
+def enable_persistent_cache(path: str = "/root/.jax_cache") -> None:
+    """Enable JAX's persistent compilation cache so Mosaic kernel compiles
+    (minutes for the march kernels at first trace — tracked in
+    benchmarks/tpu_verify*.json) are paid once per kernel/shape, not once
+    per process.  Safe to call multiple times; respects an existing
+    JAX_COMPILATION_CACHE_DIR."""
+    import os
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", path)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
