@@ -203,3 +203,66 @@ def test_lines_diff_wrapper_and_fd():
     fd = (lp - lm) / (2 * eps)
     an = float(jnp.sum(g_packed * v))
     np.testing.assert_allclose(an, fd, rtol=2e-2)
+
+
+def test_lines_pause_resume_matches_single_march():
+    """Mid-march compaction primitive: a march paused by max_windows, then
+    resumed from its returned raw state (re-sorted by current brick inside
+    the driver), must land exactly where the single uninterrupted march does
+    — the "ray state is a checkpoint" property (SURVEY.md §5) that the
+    two-phase scattered-ray mitigation (SURVEY §7) is built on."""
+    ior, tr = _scene(40)
+    packed = build_packed_field(ior)
+    table, nb = build_line_table(packed, None)
+    # scattered rays: random positions/directions all over the volume
+    rng = np.random.default_rng(9)
+    n_rays = 40
+    pos = jnp.asarray(rng.uniform(3.0, 34.0, (n_rays, 3)).astype(np.float32))
+    dirs = jnp.asarray(
+        rng.normal(0.0, 8.0, (n_rays, 3)).astype(np.float32) + 1e-3
+    )
+    budget = 200
+
+    # scattered rays serialize over bricks: the default max_windows
+    # (2·budget+64) can truncate — give the reference and the resume leg an
+    # ample cap so the comparison is between COMPLETE marches
+    ample = 40_000
+    ref = march_lines(
+        packed, pos, dirs, budget, bend_scale=BEND, step_scale=STEP,
+        k_steps=8, interpret=True, table=table, nb=nb, max_windows=ample,
+    )
+
+    # phase 1: hard pause after a few windows
+    r1, s1 = march_lines(
+        packed, pos, dirs, budget, bend_scale=BEND, step_scale=STEP,
+        k_steps=8, interpret=True, table=table, nb=nb,
+        max_windows=6, return_state=True,
+    )
+    assert int(jnp.sum(s1["alive"])) > 0  # some rays really paused mid-march
+    # phase 2: resume from the raw state (march_lines re-sorts internally)
+    r2 = march_lines(
+        packed, r1.end_position, r1.end_direction, budget,
+        bend_scale=BEND, step_scale=STEP, k_steps=8, interpret=True,
+        table=table, nb=nb, init_state=s1, max_windows=ample,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r2.end_position), np.asarray(ref.end_position),
+        rtol=0, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r2.end_direction), np.asarray(ref.end_direction),
+        rtol=0, atol=1e-6,
+    )
+    # cumulative executed steps must match: phase1 executed + phase2 executed
+    ex1 = (budget - 1) - np.asarray(s1["remaining"]).astype(np.int64)
+    _, s2 = march_lines(
+        packed, r1.end_position, r1.end_direction, budget,
+        bend_scale=BEND, step_scale=STEP, k_steps=8, interpret=True,
+        table=table, nb=nb, init_state=s1, return_state=True,
+        max_windows=ample,
+    )
+    ex2 = np.asarray(s1["remaining"]).astype(np.int64) - np.asarray(
+        s2["remaining"]
+    ).astype(np.int64)
+    ref_ex = (budget - 1) - ((budget) - np.asarray(ref.end_iteration).astype(np.int64) - 1)
+    np.testing.assert_array_equal(ex1 + ex2, np.asarray(ref.end_iteration).astype(np.int64) - 1)

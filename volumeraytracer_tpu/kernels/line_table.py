@@ -46,7 +46,12 @@ import jax.numpy as jnp
 
 from .march_pallas import LCH, NLO, TCH, _overlap_windows
 
-# line-brick extents (cells) and point extents (cells + 1 halo point)
+# line-brick extents (cells) and point extents (cells + 1 halo point).
+# (10, 10, 8) measured best on chip (benchmarks/probe_lines_geom.py):
+# a taller (10, 10, 15) brick (LS = 128, one full M-tile) was tried and is
+# ~20% SLOWER forward — the MXU does NOT pad M to 128 (cost scales with
+# LS), and the per-window z-select scales with LPZ, so short-z bricks win;
+# lines = 11·11 = 121 of 128 lanes live, LS = 9·8 = 72 rows.
 LBX, LBY, LBZ = 10, 10, 8
 LPX, LPY, LPZ = LBX + 1, LBY + 1, LBZ + 1
 LS = LPZ * TCH  # 72 sublanes: (z, channel) pairs, contiguous in the source

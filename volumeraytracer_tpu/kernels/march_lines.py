@@ -145,6 +145,7 @@ def _march_kernel_lines(
     min_bright: float,
     has_absorb: bool,
     precision,
+    ablate: str = "",
 ):
     xb = jnp.float32(bounds[0] - 1)
     yb = jnp.float32(bounds[1] - 1)
@@ -227,27 +228,66 @@ def _march_kernel_lines(
 
         # ---- refresh: one 4-block one-hot line-gather matmul per sublane,
         # then the per-window z-selection (module docstring) ----
-        parts = []
-        for s in range(RS):
-            onehot = (iota == _corner_lines(lin[s : s + 1, :])).astype(
-                jnp.float32
-            )
-            parts.append(
-                jax.lax.dot_general(
+        if "nogather" in ablate:  # ablation probe: cost of onehot+dot+zsel
+            fake = jnp.broadcast_to(
+                brick_ref[0, 0:1, :RL], (RS, RL)
+            ) * (1.0 + lin[0, 0].astype(jnp.float32) + lz[0, 0].astype(jnp.float32))
+            chv = [[fake] * 4 for _ in range(8)]
+            absorb_row = fake
+        elif "nozsel" in ablate:  # ablation probe: dots kept, zsel skipped
+            parts = []
+            for s in range(RS):
+                onehot = (iota == _corner_lines(lin[s : s + 1, :])).astype(
+                    jnp.float32
+                )
+                parts.append(
+                    jax.lax.dot_general(
+                        brick_ref[s], onehot,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )
+                )
+            G = jnp.stack(parts, axis=1)
+            fake = G[0, :, 0:RL] + G[1, :, 0:RL]
+            chv = [[fake] * 4 for _ in range(8)]
+            absorb_row = fake
+        else:
+            parts = []
+            for s in range(RS):
+                onehot = (iota == _corner_lines(lin[s : s + 1, :])).astype(
+                    jnp.float32
+                )
+                d = jax.lax.dot_general(
                     brick_ref[s],
                     onehot,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=precision,
-                )
-            )  # (LS, 4RL)
-        G = jnp.stack(parts, axis=1)  # (LS, RS, 4RL)
-        lz4 = jnp.concatenate([lz] * 4, axis=1)  # (RS, 4RL)
-        acc0, acc1 = _zselect(G, lz4)
-        chv, absorb_row = _corner_channels(acc0, acc1)
+                )  # (LS, 4RL)
+                if "dots2" in ablate:  # in-situ marginal-cost probe: the
+                    # same dot twice, averaged — semantics unchanged
+                    d = 0.5 * (d + jax.lax.dot_general(
+                        brick_ref[s],
+                        onehot,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    ))
+                parts.append(d)
+            G = jnp.stack(parts, axis=1)  # (LS, RS, 4RL)
+            lz4 = jnp.concatenate([lz] * 4, axis=1)  # (RS, 4RL)
+            acc0, acc1 = _zselect(G, lz4)
+            if "zsel2" in ablate:  # in-situ marginal-cost probe
+                b0, b1 = _zselect(G, lz4)
+                acc0 = 0.5 * (acc0 + b0)
+                acc1 = 0.5 * (acc1 + b1)
+            chv, absorb_row = _corner_channels(acc0, acc1)
 
         basex, basey, basez = fpx, fpy, fpz
         evaluable_w = in_cur & (alive != 0)
+        if "freeze" in ablate:  # ablation probe: rays never step or die
+            evaluable_w = evaluable_w & (px < -3e38)
 
         def step_body(k, carry):
             px, py, pz, dx, dy, dz, rem, alive, br = carry
@@ -354,13 +394,13 @@ def _march_kernel_lines(
     static_argnames=(
         "budget", "k_steps", "max_windows", "interpret",
         "bounds", "nb", "bend", "step", "min_bright", "has_absorb",
-        "n_tiles", "precision",
+        "n_tiles", "precision", "ablate",
     ),
 )
 def _march_call_lines(
     table, px, py, pz, dx, dy, dz, rem, alive, br,
     *, budget, k_steps, max_windows, interpret, bounds, nb, bend, step,
-    min_bright, has_absorb, n_tiles, precision,
+    min_bright, has_absorb, n_tiles, precision, ablate="",
 ):
     kernel = functools.partial(
         _march_kernel_lines,
@@ -373,6 +413,7 @@ def _march_call_lines(
         min_bright=min_bright,
         has_absorb=has_absorb,
         precision=precision,
+        ablate=ablate,
     )
     n = n_tiles * R
     state_spec = pl.BlockSpec((RS, RL), lambda t: (t, 0))
@@ -428,12 +469,22 @@ def march_lines(
     table: Optional[jax.Array] = None,
     nb: Optional[Tuple[int, int, int]] = None,
     return_state: bool = False,
+    init_state: Optional[dict] = None,
+    _ablate: str = "",
 ) -> TraceResult:
     """Forward float march using the line-walking kernel.
 
     Same contract as ``march_pallas`` (semantics of ``ops.march.march_float``
     with ``opaque_when_positive=True``); ``table``/``nb`` must come from
     ``build_line_table``.
+
+    ``init_state``: optional ``{"remaining", "alive", "brightness"}`` dict
+    (the raw dict a previous ``return_state=True`` call returned) that seeds
+    the per-ray budget/liveness/brightness instead of a fresh start — the
+    "ray state is a checkpoint" property (SURVEY.md §5): a march can be
+    paused (``max_windows`` cap), its survivors re-sorted by current brick
+    for coherence, and resumed.  ``start_position``/``start_direction`` are
+    then the previous call's end state.
     """
     assert packed.ndim == 4 and packed.shape[-1] == 4, "3D packed field required"
     n_in, dim = start_position.shape
@@ -453,18 +504,25 @@ def march_lines(
     dirs = jnp.pad(
         start_direction.astype(jnp.float32), ((0, pad), (0, 0)), constant_values=1.0
     )
-    alive = jnp.concatenate(
-        [jnp.ones((n_in,), jnp.int32), jnp.zeros((pad,), jnp.int32)]
-    )
+    if init_state is not None:
+        alive = jnp.pad(init_state["alive"].astype(jnp.int32), (0, pad))
+        rem = jnp.pad(init_state["remaining"].astype(jnp.int32), (0, pad))
+        br = jnp.pad(init_state["brightness"].astype(jnp.float32), (0, pad))
+    else:
+        alive = jnp.concatenate(
+            [jnp.ones((n_in,), jnp.int32), jnp.zeros((pad,), jnp.int32)]
+        )
+        # budget-1: see march_pallas (start path entry, .cu:333)
+        rem = jnp.full((n,), budget - 1, jnp.int32)
+        br = jnp.ones((n,), jnp.float32)
     if sort_rays:
         order, inv = _sort_by_line_brick(pos, nb, alive != 0)
-        pos, dirs, alive = pos[order], dirs[order], alive[order]
+        pos, dirs, alive, rem, br = (
+            pos[order], dirs[order], alive[order], rem[order], br[order]
+        )
     else:
         inv = None
 
-    # budget-1: see march_pallas (start path entry, .cu:333)
-    rem = jnp.full((n,), budget - 1, jnp.int32)
-    br = jnp.ones((n,), jnp.float32)
     if max_windows is None:
         max_windows = 2 * budget + 64
 
@@ -480,7 +538,7 @@ def march_lines(
         interpret=interpret, bounds=bounds, nb=nb, bend=bend, step=step,
         min_bright=float(minimum_brightness) / BRIGHT_MAX_F,
         has_absorb=has_absorb,
-        n_tiles=n // R, precision=precision,
+        n_tiles=n // R, precision=precision, ablate=_ablate,
     )
     windows_used = outs[9][:: R // RL, 0]
     outs = [o.reshape(n) for o in outs[:9]]
@@ -509,7 +567,7 @@ def march_lines(
         windows_used=windows_used,
     )
     if return_state:
-        return result, {"remaining": rem, "alive": alive}
+        return result, {"remaining": rem, "alive": alive, "brightness": br}
     return result
 
 
