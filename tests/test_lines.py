@@ -266,3 +266,38 @@ def test_lines_pause_resume_matches_single_march():
     ).astype(np.int64)
     ref_ex = (budget - 1) - ((budget) - np.asarray(ref.end_iteration).astype(np.int64) - 1)
     np.testing.assert_array_equal(ex1 + ex2, np.asarray(ref.end_iteration).astype(np.int64) - 1)
+
+
+def test_lines_compact_matches_single_march():
+    """The jitted multi-phase compaction driver (march → re-bin by current
+    brick → continue) must reproduce the uninterrupted march exactly on a
+    scattered batch."""
+    from volumeraytracer_tpu.kernels.march_lines import march_lines_compact
+
+    ior, tr = _scene(40)
+    packed = build_packed_field(ior)
+    table, nb = build_line_table(packed, None)
+    rng = np.random.default_rng(13)
+    n_rays = 48
+    pos = jnp.asarray(rng.uniform(3.0, 34.0, (n_rays, 3)).astype(np.float32))
+    dirs = jnp.asarray(
+        rng.normal(0.0, 8.0, (n_rays, 3)).astype(np.float32) + 1e-3
+    )
+    budget = 150
+
+    ref = march_lines(
+        packed, pos, dirs, budget, bend_scale=BEND, step_scale=STEP,
+        k_steps=8, interpret=True, table=table, nb=nb, max_windows=40_000,
+    )
+    res = march_lines_compact(
+        packed, pos, dirs, budget, bend_scale=BEND, step_scale=STEP,
+        k_steps=8, phase_windows=5, max_phases=8000, interpret=True,
+        table=table, nb=nb,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.end_position), np.asarray(ref.end_position),
+        rtol=0, atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.end_iteration), np.asarray(ref.end_iteration)
+    )

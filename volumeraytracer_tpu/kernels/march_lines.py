@@ -1029,3 +1029,146 @@ def _bwd_impl_lines(
     d_dir0 = jnp.stack(tiles[3:6], axis=-1)
     recon_pos = jnp.stack(tiles[6:9], axis=-1)
     return gtable, d_pos0, d_dir0, recon_pos, windows_used
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "budget", "k_steps", "phase_windows", "max_phases", "interpret",
+        "bounds", "nb", "bend", "step", "min_bright", "has_absorb",
+        "n_tiles", "precision",
+    ),
+)
+def _compact_loop(
+    table, pos, dirs, rem, alive, br, perm,
+    *, budget, k_steps, phase_windows, max_phases, interpret, bounds, nb,
+    bend, step, min_bright, has_absorb, n_tiles, precision,
+):
+    """Jitted multi-phase march: kernel for ``phase_windows`` windows →
+    re-sort survivors by their CURRENT brick → repeat.  The whole loop is
+    one XLA program (one dispatch), so compaction costs an on-device argsort
+    per phase instead of a host round-trip."""
+    n = n_tiles * R
+    rows = n // RL
+
+    def kernel_phase(pos, dirs, rem, alive, br):
+        outs = _march_call_lines(
+            table,
+            pos[:, 0].reshape(rows, RL), pos[:, 1].reshape(rows, RL),
+            pos[:, 2].reshape(rows, RL),
+            dirs[:, 0].reshape(rows, RL), dirs[:, 1].reshape(rows, RL),
+            dirs[:, 2].reshape(rows, RL),
+            rem.reshape(rows, RL), alive.reshape(rows, RL),
+            br.reshape(rows, RL),
+            budget=budget, k_steps=k_steps, max_windows=phase_windows,
+            interpret=interpret, bounds=bounds, nb=nb, bend=bend, step=step,
+            min_bright=min_bright, has_absorb=has_absorb, n_tiles=n_tiles,
+            precision=precision,
+        )
+        w = jnp.sum(outs[9][:: R // RL, 0])
+        flat = [o.reshape(n) for o in outs[:9]]
+        pos = jnp.stack(flat[0:3], axis=-1)
+        dirs = jnp.stack(flat[3:6], axis=-1)
+        return pos, dirs, flat[6], flat[7], flat[8], w
+
+    def cond(c):
+        phase, pos, dirs, rem, alive, br, perm, wtot = c
+        return (phase < max_phases) & jnp.any(alive != 0)
+
+    def body(c):
+        phase, pos, dirs, rem, alive, br, perm, wtot = c
+        pos, dirs, rem, alive, br, w = kernel_phase(pos, dirs, rem, alive, br)
+        # compact: re-sort by the survivors' CURRENT brick
+        order, _ = _sort_by_line_brick(pos, nb, alive != 0)
+        return (
+            phase + 1,
+            pos[order], dirs[order], rem[order], alive[order], br[order],
+            perm[order], wtot + w,
+        )
+
+    init = (jnp.int32(0), pos, dirs, rem, alive, br, perm, jnp.int32(0))
+    phase, pos, dirs, rem, alive, br, perm, wtot = jax.lax.while_loop(
+        cond, body, init
+    )
+    return phase, pos, dirs, rem, alive, br, perm, wtot
+
+
+def march_lines_compact(
+    packed: jax.Array,
+    start_position: jax.Array,
+    start_direction: jax.Array,
+    budget: int,
+    *,
+    bend_scale,
+    step_scale,
+    translucency: Optional[jax.Array] = None,
+    absorb: Optional[jax.Array] = None,
+    minimum_brightness: int = 0,
+    k_steps: int = 16,
+    phase_windows: int = 48,
+    max_phases: Optional[int] = None,
+    interpret: bool = False,
+    precision=jax.lax.Precision.DEFAULT,
+    table: Optional[jax.Array] = None,
+    nb: Optional[Tuple[int, int, int]] = None,
+) -> TraceResult:
+    """Two-phase(+) scattered-ray march: march → compact survivors →
+    continue (SURVEY.md §7's divergence mitigation), the whole loop in ONE
+    jitted program.  Semantics identical to ``march_lines``; rays are
+    re-binned to tiles by their current brick every ``phase_windows``
+    windows, so a scattered batch regains sublane coherence as it marches
+    (the min-brick scheduler otherwise serializes a sublane whose 128 rays
+    spread over many bricks — measured 0.11-0.13 window-step efficiency vs
+    0.46 sorted, benchmarks/perf_notes.md)."""
+    assert packed.ndim == 4 and packed.shape[-1] == 4
+    n_in, dim = start_position.shape
+    assert dim == 3
+    bounds = tuple(int(s) for s in packed.shape[:-1])
+    bend = tuple(float(b) for b in np.broadcast_to(np.asarray(bend_scale, np.float32), (3,)))
+    step = tuple(float(s) for s in np.broadcast_to(np.asarray(step_scale, np.float32), (3,)))
+    if table is None:
+        table, nb = build_line_table(packed, translucency, absorb=absorb)
+    assert nb is not None
+    has_absorb = translucency is not None or absorb is not None
+
+    n = -(-n_in // R) * R
+    pad = n - n_in
+    pos = jnp.pad(start_position.astype(jnp.float32), ((0, pad), (0, 0)))
+    dirs = jnp.pad(
+        start_direction.astype(jnp.float32), ((0, pad), (0, 0)),
+        constant_values=1.0,
+    )
+    alive = jnp.concatenate(
+        [jnp.ones((n_in,), jnp.int32), jnp.zeros((pad,), jnp.int32)]
+    )
+    rem = jnp.full((n,), budget - 1, jnp.int32)
+    br = jnp.ones((n,), jnp.float32)
+    perm = jnp.arange(n, dtype=jnp.int32)
+    if max_phases is None:
+        max_phases = -(-(2 * budget + 64) // phase_windows)
+
+    phase, pos, dirs, rem, alive, br, perm, wtot = _compact_loop(
+        table, pos, dirs, rem, alive, br, perm,
+        budget=budget, k_steps=k_steps, phase_windows=int(phase_windows),
+        max_phases=int(max_phases), interpret=interpret, bounds=bounds,
+        nb=nb, bend=bend, step=step,
+        min_bright=float(minimum_brightness) / BRIGHT_MAX_F,
+        has_absorb=has_absorb, n_tiles=n // R, precision=precision,
+    )
+    inv = jnp.argsort(perm)
+    pos, dirs, rem, alive, br = (
+        pos[inv][:n_in], dirs[inv][:n_in], rem[inv][:n_in],
+        alive[inv][:n_in], br[inv][:n_in],
+    )
+    end_remaining = jnp.where(alive != 0, 0, rem).astype(jnp.uint32)
+    return TraceResult(
+        end_position=pos,
+        end_direction=dirs,
+        end_iteration=jnp.uint32(budget) - end_remaining,
+        remaining_light=jnp.where(
+            br >= 1.0, jnp.uint32(0xFFFFFFFF),
+            (br * BRIGHT_MAX_F).astype(jnp.uint32),
+        ),
+        path=None,
+        windows_used=wtot[None],
+    )
