@@ -603,6 +603,7 @@ def _bwd_kernel_lines(
     bend: Tuple[float, float, float],
     step: Tuple[float, float, float],
     precision,
+    ablate: str = "",
 ):
     ex, ey, ez = (jnp.float32(b) for b in bend)
     sx, sy, sz = (jnp.float32(s) for s in step)
@@ -885,23 +886,33 @@ def _bwd_kernel_lines(
                 jnp.float32
             )
             d = dG[:, s, :]  # (GLS, 4RL)
-            # runtime hi/lo split (see march_bwd: grad rows are arbitrary
-            # f32; DEFAULT precision alone would round them to 2^-8)
-            dhi = d.astype(jnp.bfloat16).astype(jnp.float32)
-            dlo = d - dhi
-            contrib = jax.lax.dot_general(
-                dhi,
-                onehot,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            ) + jax.lax.dot_general(
-                dlo,
-                onehot,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )  # (GLS, LL)
+            if "scat1" in ablate:
+                # single bf16 pass (2^-8-rounded window contributions) —
+                # accuracy/cost A/B probe, not the production path
+                contrib = jax.lax.dot_general(
+                    d, onehot,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+            else:
+                # runtime hi/lo split (see march_bwd: grad rows are
+                # arbitrary f32; DEFAULT precision alone rounds to 2^-8)
+                dhi = d.astype(jnp.bfloat16).astype(jnp.float32)
+                dlo = d - dhi
+                contrib = jax.lax.dot_general(
+                    dhi,
+                    onehot,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                ) + jax.lax.dot_general(
+                    dlo,
+                    onehot,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )  # (GLS, LL)
             gbrick_ref[s] = gbrick_ref[s] + contrib
 
         return w + 1, new_ids, tuple(state)
@@ -932,12 +943,13 @@ def _bwd_kernel_lines(
     jax.jit,
     static_argnames=(
         "k_steps", "max_windows", "interpret", "nb", "bend", "step",
-        "n_tiles", "precision",
+        "n_tiles", "precision", "ablate",
     ),
 )
 def _bwd_call_lines(
     table, gzeros, px, py, pz, vx, vy, vz, rrem, apx, apy, apz, avx, avy, avz,
     *, k_steps, max_windows, interpret, nb, bend, step, n_tiles, precision,
+    ablate="",
 ):
     kernel = functools.partial(
         _bwd_kernel_lines,
@@ -947,6 +959,7 @@ def _bwd_call_lines(
         bend=bend,
         step=step,
         precision=precision,
+        ablate=ablate,
     )
     n = n_tiles * R
     rows = n // RL
@@ -982,7 +995,7 @@ def _bwd_call_lines(
 def _bwd_impl_lines(
     table, nb, end_pos, end_dir, nexec, d_pos, d_dir,
     *, bend, step, k_steps, max_windows, interpret, budget,
-    precision=jax.lax.Precision.DEFAULT,
+    precision=jax.lax.Precision.DEFAULT, ablate="",
 ):
     """Run the line-layout adjoint kernel; mirrors ``march_bwd._bwd_impl``."""
     n_bricks = int(table.shape[0])
@@ -1021,6 +1034,7 @@ def _bwd_impl_lines(
         av[:, 2].reshape(rows, RL),
         k_steps=k_steps, max_windows=int(max_windows), interpret=interpret,
         nb=nb, bend=bend, step=step, n_tiles=n // R, precision=precision,
+        ablate=ablate,
     )
     gtable = outs[0]
     windows_used = outs[10][:: R // RL, 0]
