@@ -301,3 +301,41 @@ def test_lines_compact_matches_single_march():
     np.testing.assert_array_equal(
         np.asarray(res.end_iteration), np.asarray(ref.end_iteration)
     )
+
+
+@pytest.mark.parametrize("budget", [64, 300])
+def test_lines_anchor2x_matches_jnp(budget):
+    """2-cell-x anchor slab variant: same semantics as the 1-cell anchor
+    (per-step sub-cell corner select inside the slab), checked against the
+    XLA march including backward-marching (-x) rays.  The mixed-brick batch
+    serializes in the min-brick scheduler, so an ample max_windows keeps the
+    comparison between complete marches."""
+    ior, tr = _scene(40)
+    packed = build_packed_field(ior, tr)
+    pos, dirs, rng = _rays(70)
+    pos = np.asarray(pos).copy()
+    dirs = np.asarray(dirs).copy()
+    dirs[::5, 0] = -16.0
+    pos[::5, 0] = 36.0
+    pos, dirs = jnp.asarray(pos), jnp.asarray(dirs)
+
+    ref = march_ops.march_float(
+        packed, None, pos, dirs, budget,
+        bend_scale=BEND, step_scale=STEP, chunk_steps=64,
+    )
+    res = march_lines(
+        packed, pos, dirs, budget,
+        bend_scale=BEND, step_scale=STEP, k_steps=8, interpret=True,
+        anchor2x=True, max_windows=40_000,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.end_iteration), np.asarray(ref.end_iteration)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.end_position), np.asarray(ref.end_position),
+        rtol=0, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.end_direction), np.asarray(ref.end_direction),
+        rtol=1e-6, atol=1e-6,
+    )

@@ -81,6 +81,38 @@ def _corner_lines(lin_s: jax.Array) -> jax.Array:
     return jnp.concatenate([lin_s + o for o in LINE_OFF], axis=1)
 
 
+#: lane offsets of the 6 corner lines of a 2-cell-x anchor slab:
+#: (dx, dy) for dx ∈ {0,1,2}, dy ∈ {0,1}
+LINE_OFF2X = (0, 1, LPY, LPY + 1, 2 * LPY, 2 * LPY + 1)
+
+
+def _corner_lines2x(lin_s: jax.Array) -> jax.Array:
+    """(1, RL) slab-base line ids → (1, 6·RL) corner line ids."""
+    return jnp.concatenate([lin_s + o for o in LINE_OFF2X], axis=1)
+
+
+def _corner_channels2x(acc0: jax.Array, acc1: jax.Array):
+    """2-cell-x variant of ``_corner_channels``: returns (chv_lo, chv_hi,
+    absorb_lo, absorb_hi) — the 8-corner channel rows of the two x-sub-cells
+    of the anchor slab (line blocks (dx, dy) with dx ∈ {0,1,2})."""
+    def chv_at(xoff):
+        chv = []
+        for dx_ in (0, 1):
+            for dy_ in (0, 1):
+                j = (dx_ + xoff) * 2 + dy_
+                sl = slice(j * RL, (j + 1) * RL)
+                for acc in (acc0, acc1):  # dz = 0, 1
+                    chv.append(
+                        [acc[c, :, sl] + acc[LCH + c, :, sl] for c in range(NLO)]
+                        + [acc[3, :, sl]]
+                    )
+        return chv
+
+    absorb_lo = acc0[ABSORB_CH, :, 0:RL]
+    absorb_hi = acc0[ABSORB_CH, :, 2 * RL : 3 * RL]
+    return chv_at(0), chv_at(1), absorb_lo, absorb_hi
+
+
 def _zselect(G: jax.Array, lz4: jax.Array):
     """Per-window z-selection of the (z, z+1) corner pair from gathered lines.
 
@@ -146,6 +178,7 @@ def _march_kernel_lines(
     has_absorb: bool,
     precision,
     ablate: str = "",
+    anchor2x: bool = False,
 ):
     xb = jnp.float32(bounds[0] - 1)
     yb = jnp.float32(bounds[1] - 1)
@@ -154,7 +187,8 @@ def _march_kernel_lines(
     stepx, stepy, stepz = (jnp.float32(s) for s in step)
     nbx, nby, nbz = (jnp.int32(v) for v in nb)
     minb = jnp.float32(min_bright)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (LL, 4 * RL), 0)
+    nblk = 6 if anchor2x else 4
+    iota = jax.lax.broadcasted_iota(jnp.int32, (LL, nblk * RL), 0)
 
     state0 = (
         px_ref[:], py_ref[:], pz_ref[:],
@@ -224,7 +258,20 @@ def _march_kernel_lines(
         lx = jnp.clip((fpx - oxf).astype(jnp.int32), 0, LBX - 1)
         ly = jnp.clip((fpy - oyf).astype(jnp.int32), 0, LBY - 1)
         lz = jnp.clip((fpz - ozf).astype(jnp.int32), 0, LBZ - 1)
-        lin = lx * LPY + ly  # anchor LINE id, (8, 128) in [0, NLINES)
+        if anchor2x:
+            # 2-cell-x anchor slab [base, base+2): base biased one cell
+            # upstream of the travel direction, clipped so the slab's point
+            # rows (base .. base+2 ≤ LPX-1) stay inside the brick — a window
+            # then marches ~1.5 cells instead of the ~0.5 the mid-cell
+            # 1-cell anchor averages (window-step efficiency 0.46 → ~0.7)
+            base_lx = jnp.clip(
+                lx - (dx < 0.0).astype(jnp.int32), 0, LBX - 2
+            )
+            lin = base_lx * LPY + ly
+            basex_a = oxf + base_lx.astype(jnp.float32)
+        else:
+            lin = lx * LPY + ly  # anchor LINE id, (8, 128) in [0, NLINES)
+            basex_a = fpx
 
         # ---- refresh: one 4-block one-hot line-gather matmul per sublane,
         # then the per-window z-selection (module docstring) ----
@@ -253,9 +300,10 @@ def _march_kernel_lines(
             chv = [[fake] * 4 for _ in range(8)]
             absorb_row = fake
         else:
+            lines_fn = _corner_lines2x if anchor2x else _corner_lines
             parts = []
             for s in range(RS):
-                onehot = (iota == _corner_lines(lin[s : s + 1, :])).astype(
+                onehot = (iota == lines_fn(lin[s : s + 1, :])).astype(
                     jnp.float32
                 )
                 d = jax.lax.dot_general(
@@ -264,7 +312,7 @@ def _march_kernel_lines(
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=precision,
-                )  # (LS, 4RL)
+                )  # (LS, nblk·RL)
                 if "dots2" in ablate:  # in-situ marginal-cost probe: the
                     # same dot twice, averaged — semantics unchanged
                     d = 0.5 * (d + jax.lax.dot_general(
@@ -275,19 +323,26 @@ def _march_kernel_lines(
                         precision=precision,
                     ))
                 parts.append(d)
-            G = jnp.stack(parts, axis=1)  # (LS, RS, 4RL)
-            lz4 = jnp.concatenate([lz] * 4, axis=1)  # (RS, 4RL)
+            G = jnp.stack(parts, axis=1)  # (LS, RS, nblk·RL)
+            lz4 = jnp.concatenate([lz] * nblk, axis=1)  # (RS, nblk·RL)
             acc0, acc1 = _zselect(G, lz4)
             if "zsel2" in ablate:  # in-situ marginal-cost probe
                 b0, b1 = _zselect(G, lz4)
                 acc0 = 0.5 * (acc0 + b0)
                 acc1 = 0.5 * (acc1 + b1)
-            chv, absorb_row = _corner_channels(acc0, acc1)
+            if anchor2x:
+                chv_lo, chv_hi, absorb_lo, absorb_hi = _corner_channels2x(
+                    acc0, acc1
+                )
+            else:
+                chv, absorb_row = _corner_channels(acc0, acc1)
 
-        basex, basey, basez = fpx, fpy, fpz
+        basex, basey, basez = basex_a, fpy, fpz
         evaluable_w = in_cur & (alive != 0)
         if "freeze" in ablate:  # ablation probe: rays never step or die
             evaluable_w = evaluable_w & (px < -3e38)
+
+        xlim = 2.0 if anchor2x else 1.0
 
         def step_body(k, carry):
             px, py, pz, dx, dy, dz, rem, alive, br = carry
@@ -295,29 +350,51 @@ def _march_kernel_lines(
             fy = py - basey
             fz = pz - basez
             crossed = (
-                (fx < 0) | (fx >= 1.0) | (fy < 0) | (fy >= 1.0) | (fz < 0) | (fz >= 1.0)
+                (fx < 0) | (fx >= xlim) | (fy < 0) | (fy >= 1.0) | (fz < 0) | (fz >= 1.0)
             )
             rem_ok = rem > 0
             cond_l = evaluable_w & ~crossed & rem_ok
 
+            if anchor2x:
+                # which x-sub-cell of the slab the ray is in this step
+                sel = fx >= 1.0
+                fxl = jnp.where(sel, fx - 1.0, fx)
+                if has_absorb:
+                    absorb_here = jnp.where(sel, absorb_hi, absorb_lo)
+            else:
+                fxl = fx
+                if has_absorb:
+                    absorb_here = absorb_row
+
             if has_absorb:
-                nbr = jnp.maximum(br - absorb_row, 0.0)
+                nbr = jnp.maximum(br - absorb_here, 0.0)
                 br = jnp.where(cond_l & (alive != 0), nbr, br)
                 dark = br < minb
             else:
                 dark = False
 
-            gx = 1.0 - fx
+            gx = 1.0 - fxl
             gy = 1.0 - fy
             gz = 1.0 - fz
             wts = (
                 gx * gy * gz, gx * gy * fz, gx * fy * gz, gx * fy * fz,
-                fx * gy * gz, fx * gy * fz, fx * fy * gz, fx * fy * fz,
+                fxl * gy * gz, fxl * gy * fz, fxl * fy * gz, fxl * fy * fz,
             )
-            interp = [jnp.zeros((RS, RL), jnp.float32) for _ in range(4)]
-            for o in range(8):
-                for c in range(4):
-                    interp[c] = interp[c] + wts[o] * chv[o][c]
+            if anchor2x:
+                acc_lo = [jnp.zeros((RS, RL), jnp.float32) for _ in range(4)]
+                acc_hi = [jnp.zeros((RS, RL), jnp.float32) for _ in range(4)]
+                for o in range(8):
+                    for c in range(4):
+                        acc_lo[c] = acc_lo[c] + wts[o] * chv_lo[o][c]
+                        acc_hi[c] = acc_hi[c] + wts[o] * chv_hi[o][c]
+                interp = [
+                    jnp.where(sel, acc_hi[c], acc_lo[c]) for c in range(4)
+                ]
+            else:
+                interp = [jnp.zeros((RS, RL), jnp.float32) for _ in range(4)]
+                for o in range(8):
+                    for c in range(4):
+                        interp[c] = interp[c] + wts[o] * chv[o][c]
 
             opaque = interp[3] > 0.0
             if has_absorb:
@@ -355,7 +432,7 @@ def _march_kernel_lines(
             fy2 = s[1] - basey
             fz2 = s[2] - basez
             crossed2 = (
-                (fx2 < 0) | (fx2 >= 1.0) | (fy2 < 0) | (fy2 >= 1.0)
+                (fx2 < 0) | (fx2 >= xlim) | (fy2 < 0) | (fy2 >= 1.0)
                 | (fz2 < 0) | (fz2 >= 1.0)
             )
             cont = jnp.any(evaluable_w & ~crossed2 & (s[6] > 0))
@@ -394,13 +471,13 @@ def _march_kernel_lines(
     static_argnames=(
         "budget", "k_steps", "max_windows", "interpret",
         "bounds", "nb", "bend", "step", "min_bright", "has_absorb",
-        "n_tiles", "precision", "ablate",
+        "n_tiles", "precision", "ablate", "anchor2x",
     ),
 )
 def _march_call_lines(
     table, px, py, pz, dx, dy, dz, rem, alive, br,
     *, budget, k_steps, max_windows, interpret, bounds, nb, bend, step,
-    min_bright, has_absorb, n_tiles, precision, ablate="",
+    min_bright, has_absorb, n_tiles, precision, ablate="", anchor2x=False,
 ):
     kernel = functools.partial(
         _march_kernel_lines,
@@ -414,6 +491,7 @@ def _march_call_lines(
         has_absorb=has_absorb,
         precision=precision,
         ablate=ablate,
+        anchor2x=anchor2x,
     )
     n = n_tiles * R
     state_spec = pl.BlockSpec((RS, RL), lambda t: (t, 0))
@@ -470,6 +548,7 @@ def march_lines(
     nb: Optional[Tuple[int, int, int]] = None,
     return_state: bool = False,
     init_state: Optional[dict] = None,
+    anchor2x: bool = False,
     _ablate: str = "",
 ) -> TraceResult:
     """Forward float march using the line-walking kernel.
@@ -539,6 +618,7 @@ def march_lines(
         min_bright=float(minimum_brightness) / BRIGHT_MAX_F,
         has_absorb=has_absorb,
         n_tiles=n // R, precision=precision, ablate=_ablate,
+        anchor2x=anchor2x,
     )
     windows_used = outs[9][:: R // RL, 0]
     outs = [o.reshape(n) for o in outs[:9]]
