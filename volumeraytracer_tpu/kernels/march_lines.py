@@ -548,7 +548,7 @@ def march_lines(
     nb: Optional[Tuple[int, int, int]] = None,
     return_state: bool = False,
     init_state: Optional[dict] = None,
-    anchor2x: bool = False,
+    anchor2x: bool = True,
     _ablate: str = "",
 ) -> TraceResult:
     """Forward float march using the line-walking kernel.
@@ -684,11 +684,13 @@ def _bwd_kernel_lines(
     step: Tuple[float, float, float],
     precision,
     ablate: str = "",
+    anchor2x: bool = False,
 ):
     ex, ey, ez = (jnp.float32(b) for b in bend)
     sx, sy, sz = (jnp.float32(s) for s in step)
     nbx, nby, nbz = (jnp.int32(v) for v in nb)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (LL, 4 * RL), 0)
+    nblk = 6 if anchor2x else 4
+    iota = jax.lax.broadcasted_iota(jnp.int32, (LL, nblk * RL), 0)
 
     gbrick_ref[:] = jnp.zeros((RS, GLS, LL), jnp.float32)
 
@@ -781,13 +783,24 @@ def _bwd_kernel_lines(
         lx = jnp.clip((fpx - oxf).astype(jnp.int32), 0, LBX - 1)
         ly = jnp.clip((fpy - oyf).astype(jnp.int32), 0, LBY - 1)
         lz = jnp.clip((fpz - ozf).astype(jnp.int32), 0, LBZ - 1)
-        lin = lx * LPY + ly
+        if anchor2x:
+            # reverse marching direction is −v: bias the 2-cell slab one
+            # cell upstream of it (see the forward kernel's anchor comment)
+            base_lx = jnp.clip(
+                lx - (vx > 0.0).astype(jnp.int32), 0, LBX - 2
+            )
+            lin = base_lx * LPY + ly
+            basex_a = oxf + base_lx.astype(jnp.float32)
+        else:
+            lin = lx * LPY + ly
+            basex_a = fpx
 
         # gather (identical to the forward refresh); the one-hots are
         # REBUILT at scatter time rather than kept live across the step loop
+        lines_fn = _corner_lines2x if anchor2x else _corner_lines
         parts = []
         for s in range(RS):
-            onehot = (iota == _corner_lines(lin[s : s + 1, :])).astype(
+            onehot = (iota == lines_fn(lin[s : s + 1, :])).astype(
                 jnp.float32
             )
             parts.append(
@@ -799,17 +812,26 @@ def _bwd_kernel_lines(
                     precision=precision,
                 )
             )
-        G = jnp.stack(parts, axis=1)  # (LS, RS, 4RL)
-        lz4 = jnp.concatenate([lz] * 4, axis=1)
+        G = jnp.stack(parts, axis=1)  # (LS, RS, nblk·RL)
+        lz4 = jnp.concatenate([lz] * nblk, axis=1)
         acc0, acc1 = _zselect(G, lz4)
-        chv_full, _ = _corner_channels(acc0, acc1)
-        chv = [rows[:NLO] for rows in chv_full]  # bwd needs the 3 grad rows
+        if anchor2x:
+            chv_lo_f, chv_hi_f, _, _ = _corner_channels2x(acc0, acc1)
+            chv_lo = [rows[:NLO] for rows in chv_lo_f]
+            chv_hi = [rows[:NLO] for rows in chv_hi_f]
+        else:
+            chv_full, _ = _corner_channels(acc0, acc1)
+            chv = [rows[:NLO] for rows in chv_full]  # the 3 grad rows
 
-        basex, basey, basez = fpx, fpy, fpz
+        basex, basey, basez = basex_a, fpy, fpz
         evaluable_w = in_cur
+        xlim = 2.0 if anchor2x else 1.0
 
         zero = jnp.zeros((RS, RL), jnp.float32)
-        dC = [zero] * (8 * 3)  # corner grads, [o*3+c] layout
+        # corner/point grads: 12 slab points in 2x ((dxi*2+dy)*2+dz layout),
+        # 8 corners otherwise ([o*3+c] layout)
+        n_pts = 12 if anchor2x else 8
+        dC = [zero] * (n_pts * 3)
 
         def step_body(k, carry):
             (px, py, pz, vx, vy, vz, ax, ay, az, bx, by, bz, rrem, dC) = carry
@@ -821,31 +843,52 @@ def _bwd_kernel_lines(
             fy = candy - basey
             fz = candz - basez
             crossed = (
-                (fx < 0) | (fx >= 1.0) | (fy < 0) | (fy >= 1.0) | (fz < 0) | (fz >= 1.0)
+                (fx < 0) | (fx >= xlim) | (fy < 0) | (fy >= 1.0) | (fz < 0) | (fz >= 1.0)
             )
             ok = evaluable_w & ~crossed & (rrem > 0)
 
-            gx_ = 1.0 - fx
+            if anchor2x:
+                sel = fx >= 1.0
+                self_ = jnp.where(sel, 1.0, 0.0)
+                fxl = jnp.where(sel, fx - 1.0, fx)
+            else:
+                fxl = fx
+
+            gx_ = 1.0 - fxl
             gy_ = 1.0 - fy
             gz_ = 1.0 - fz
             wts = (
                 gx_ * gy_ * gz_, gx_ * gy_ * fz, gx_ * fy * gz_, gx_ * fy * fz,
-                fx * gy_ * gz_, fx * gy_ * fz, fx * fy * gz_, fx * fy * fz,
+                fxl * gy_ * gz_, fxl * gy_ * fz, fxl * fy * gz_, fxl * fy * fz,
             )
             yz = (gy_ * gz_, gy_ * fz, fy * gz_, fy * fz)
             dwx = (-yz[0], -yz[1], -yz[2], -yz[3], yz[0], yz[1], yz[2], yz[3])
-            xz = (gx_ * gz_, gx_ * fz, fx * gz_, fx * fz)
+            xz = (gx_ * gz_, gx_ * fz, fxl * gz_, fxl * fz)
             dwy = (-xz[0], -xz[1], xz[0], xz[1], -xz[2], -xz[3], xz[2], xz[3])
-            xy = (gx_ * gy_, gx_ * fy, fx * gy_, fx * fy)
+            xy = (gx_ * gy_, gx_ * fy, fxl * gy_, fxl * fy)
             dwz = (-xy[0], xy[0], -xy[1], xy[1], -xy[2], xy[2], -xy[3], xy[3])
 
-            g0 = zero
-            g1 = zero
-            g2 = zero
-            for o in range(8):
-                g0 = g0 + wts[o] * chv[o][0]
-                g1 = g1 + wts[o] * chv[o][1]
-                g2 = g2 + wts[o] * chv[o][2]
+            if anchor2x:
+                g0l = g1l = g2l = zero
+                g0h = g1h = g2h = zero
+                for o in range(8):
+                    g0l = g0l + wts[o] * chv_lo[o][0]
+                    g1l = g1l + wts[o] * chv_lo[o][1]
+                    g2l = g2l + wts[o] * chv_lo[o][2]
+                    g0h = g0h + wts[o] * chv_hi[o][0]
+                    g1h = g1h + wts[o] * chv_hi[o][1]
+                    g2h = g2h + wts[o] * chv_hi[o][2]
+                g0 = jnp.where(sel, g0h, g0l)
+                g1 = jnp.where(sel, g1h, g1l)
+                g2 = jnp.where(sel, g2h, g2l)
+            else:
+                g0 = zero
+                g1 = zero
+                g2 = zero
+                for o in range(8):
+                    g0 = g0 + wts[o] * chv[o][0]
+                    g1 = g1 + wts[o] * chv[o][1]
+                    g2 = g2 + wts[o] * chv[o][2]
 
             nvx = vx - g0 * ex
             nvy = vy - g1 * ey
@@ -865,19 +908,51 @@ def _bwd_kernel_lines(
             Gz = zero
             okf = jnp.where(ok, 1.0, 0.0)
             ndC = list(dC)
-            for o in range(8):
-                m = (
-                    chv[o][0] * h0
-                    + chv[o][1] * h1
-                    + chv[o][2] * h2
-                )
-                Gx = Gx + dwx[o] * m
-                Gy = Gy + dwy[o] * m
-                Gz = Gz + dwz[o] * m
-                wok = wts[o] * okf
-                ndC[o * 3 + 0] = dC[o * 3 + 0] + wok * h0
-                ndC[o * 3 + 1] = dC[o * 3 + 1] + wok * h1
-                ndC[o * 3 + 2] = dC[o * 3 + 2] + wok * h2
+            if anchor2x:
+                wlo_f = okf * (1.0 - self_)
+                whi_f = okf * self_
+                for dx_ in (0, 1):
+                    for dy_ in (0, 1):
+                        for dz_ in (0, 1):
+                            o = dx_ * 4 + dy_ * 2 + dz_
+                            m_l = (
+                                chv_lo[o][0] * h0
+                                + chv_lo[o][1] * h1
+                                + chv_lo[o][2] * h2
+                            )
+                            m_h = (
+                                chv_hi[o][0] * h0
+                                + chv_hi[o][1] * h1
+                                + chv_hi[o][2] * h2
+                            )
+                            m = jnp.where(sel, m_h, m_l)
+                            Gx = Gx + dwx[o] * m
+                            Gy = Gy + dwy[o] * m
+                            Gz = Gz + dwz[o] * m
+                            p_lo = (dx_ * 2 + dy_) * 2 + dz_
+                            p_hi = ((dx_ + 1) * 2 + dy_) * 2 + dz_
+                            wlo = wts[o] * wlo_f
+                            whi = wts[o] * whi_f
+                            ndC[p_lo * 3 + 0] = ndC[p_lo * 3 + 0] + wlo * h0
+                            ndC[p_lo * 3 + 1] = ndC[p_lo * 3 + 1] + wlo * h1
+                            ndC[p_lo * 3 + 2] = ndC[p_lo * 3 + 2] + wlo * h2
+                            ndC[p_hi * 3 + 0] = ndC[p_hi * 3 + 0] + whi * h0
+                            ndC[p_hi * 3 + 1] = ndC[p_hi * 3 + 1] + whi * h1
+                            ndC[p_hi * 3 + 2] = ndC[p_hi * 3 + 2] + whi * h2
+            else:
+                for o in range(8):
+                    m = (
+                        chv[o][0] * h0
+                        + chv[o][1] * h1
+                        + chv[o][2] * h2
+                    )
+                    Gx = Gx + dwx[o] * m
+                    Gy = Gy + dwy[o] * m
+                    Gz = Gz + dwz[o] * m
+                    wok = wts[o] * okf
+                    ndC[o * 3 + 0] = dC[o * 3 + 0] + wok * h0
+                    ndC[o * 3 + 1] = dC[o * 3 + 1] + wok * h1
+                    ndC[o * 3 + 2] = dC[o * 3 + 2] + wok * h2
 
             px = jnp.where(ok, candx, px)
             py = jnp.where(ok, candy, py)
@@ -911,7 +986,7 @@ def _bwd_kernel_lines(
             fy2 = (s[1] - s[4] * sy * ilen2) - basey
             fz2 = (s[2] - s[5] * sz * ilen2) - basez
             crossed2 = (
-                (fx2 < 0) | (fx2 >= 1.0) | (fy2 < 0) | (fy2 >= 1.0)
+                (fx2 < 0) | (fx2 >= xlim) | (fy2 < 0) | (fy2 >= 1.0)
                 | (fz2 < 0) | (fz2 >= 1.0)
             )
             cont = jnp.any(evaluable_w & ~crossed2 & (s[12] > 0))
@@ -933,11 +1008,17 @@ def _bwd_kernel_lines(
         zerot = jnp.zeros((1, RS, RL), jnp.float32)
 
         def dblock(dz_):
-            """(TCH, RS, 4RL): per-line channel rows of the dz corner grads."""
+            """(TCH, RS, nblk·RL): per-line channel rows of the dz grads.
+            In 2x mode the 6 lane blocks are the slab's (dxi, dy) lines and
+            dC is indexed by slab point ((dxi*2+dy)*2+dz)."""
             blocks = []
-            for dx_ in (0, 1):
+            xs = (0, 1, 2) if anchor2x else (0, 1)
+            for dx_ in xs:
                 for dy_ in (0, 1):
-                    o = dx_ * 4 + dy_ * 2 + dz_
+                    if anchor2x:
+                        o = (dx_ * 2 + dy_) * 2 + dz_
+                    else:
+                        o = dx_ * 4 + dy_ * 2 + dz_
                     blocks.append(
                         jnp.concatenate(
                             [dC[o * 3 + c][None] for c in range(3)]
@@ -945,7 +1026,7 @@ def _bwd_kernel_lines(
                             axis=0,
                         )
                     )  # (TCH, RS, RL)
-            return jnp.concatenate(blocks, axis=2)  # (TCH, RS, 4RL)
+            return jnp.concatenate(blocks, axis=2)  # (TCH, RS, nblk·RL)
 
         d0 = dblock(0)
         d1 = dblock(1)
@@ -962,10 +1043,10 @@ def _bwd_kernel_lines(
         dG = jnp.concatenate(rows, axis=0)  # (GLS, RS, 4RL)
 
         for s in range(RS):
-            onehot = (iota == _corner_lines(lin[s : s + 1, :])).astype(
+            onehot = (iota == lines_fn(lin[s : s + 1, :])).astype(
                 jnp.float32
             )
-            d = dG[:, s, :]  # (GLS, 4RL)
+            d = dG[:, s, :]  # (GLS, nblk·RL)
             if "scat1" in ablate:
                 # single bf16 pass (2^-8-rounded window contributions) —
                 # accuracy/cost A/B probe, not the production path
@@ -1023,13 +1104,13 @@ def _bwd_kernel_lines(
     jax.jit,
     static_argnames=(
         "k_steps", "max_windows", "interpret", "nb", "bend", "step",
-        "n_tiles", "precision", "ablate",
+        "n_tiles", "precision", "ablate", "anchor2x",
     ),
 )
 def _bwd_call_lines(
     table, gzeros, px, py, pz, vx, vy, vz, rrem, apx, apy, apz, avx, avy, avz,
     *, k_steps, max_windows, interpret, nb, bend, step, n_tiles, precision,
-    ablate="",
+    ablate="", anchor2x=False,
 ):
     kernel = functools.partial(
         _bwd_kernel_lines,
@@ -1040,6 +1121,7 @@ def _bwd_call_lines(
         step=step,
         precision=precision,
         ablate=ablate,
+        anchor2x=anchor2x,
     )
     n = n_tiles * R
     rows = n // RL
@@ -1075,7 +1157,7 @@ def _bwd_call_lines(
 def _bwd_impl_lines(
     table, nb, end_pos, end_dir, nexec, d_pos, d_dir,
     *, bend, step, k_steps, max_windows, interpret, budget,
-    precision=jax.lax.Precision.DEFAULT, ablate="",
+    precision=jax.lax.Precision.DEFAULT, ablate="", anchor2x=True,
 ):
     """Run the line-layout adjoint kernel; mirrors ``march_bwd._bwd_impl``."""
     n_bricks = int(table.shape[0])
@@ -1114,7 +1196,7 @@ def _bwd_impl_lines(
         av[:, 2].reshape(rows, RL),
         k_steps=k_steps, max_windows=int(max_windows), interpret=interpret,
         nb=nb, bend=bend, step=step, n_tiles=n // R, precision=precision,
-        ablate=ablate,
+        ablate=ablate, anchor2x=anchor2x,
     )
     gtable = outs[0]
     windows_used = outs[10][:: R // RL, 0]
@@ -1130,13 +1212,13 @@ def _bwd_impl_lines(
     static_argnames=(
         "budget", "k_steps", "phase_windows", "max_phases", "interpret",
         "bounds", "nb", "bend", "step", "min_bright", "has_absorb",
-        "n_tiles", "precision",
+        "n_tiles", "precision", "anchor2x",
     ),
 )
 def _compact_loop(
     table, pos, dirs, rem, alive, br, perm,
     *, budget, k_steps, phase_windows, max_phases, interpret, bounds, nb,
-    bend, step, min_bright, has_absorb, n_tiles, precision,
+    bend, step, min_bright, has_absorb, n_tiles, precision, anchor2x=True,
 ):
     """Jitted multi-phase march: kernel for ``phase_windows`` windows →
     re-sort survivors by their CURRENT brick → repeat.  The whole loop is
@@ -1157,7 +1239,7 @@ def _compact_loop(
             budget=budget, k_steps=k_steps, max_windows=phase_windows,
             interpret=interpret, bounds=bounds, nb=nb, bend=bend, step=step,
             min_bright=min_bright, has_absorb=has_absorb, n_tiles=n_tiles,
-            precision=precision,
+            precision=precision, anchor2x=anchor2x,
         )
         w = jnp.sum(outs[9][:: R // RL, 0])
         flat = [o.reshape(n) for o in outs[:9]]
@@ -1205,6 +1287,7 @@ def march_lines_compact(
     precision=jax.lax.Precision.DEFAULT,
     table: Optional[jax.Array] = None,
     nb: Optional[Tuple[int, int, int]] = None,
+    anchor2x: bool = True,
 ) -> TraceResult:
     """Two-phase(+) scattered-ray march: march → compact survivors →
     continue (SURVEY.md §7's divergence mitigation), the whole loop in ONE
@@ -1248,6 +1331,7 @@ def march_lines_compact(
         nb=nb, bend=bend, step=step,
         min_bright=float(minimum_brightness) / BRIGHT_MAX_F,
         has_absorb=has_absorb, n_tiles=n // R, precision=precision,
+        anchor2x=anchor2x,
     )
     inv = jnp.argsort(perm)
     pos, dirs, rem, alive, br = (
