@@ -423,15 +423,32 @@ def make_brick_train_step(
             return jnp.mean(jnp.sum((end_pos - targets) ** 2, axis=-1))
 
         loss, g = jax.value_and_grad(loss_fn)(ior_slab)
-        # With check_vma=False, psum transposes to psum, so the replicated
-        # per-device loss seeds sum once on the way back through the window
-        # combine: raw slab grads carry an EXACT ×num factor (verified
-        # empirically to std=0 across device counts and window counts in
-        # tests/test_bricks.py).  Overlap cells additionally have their true
-        # gradient split across the two slab copies; the halo exchange
-        # reassembles it.  (g_d + g_neighbour) / num is the exact physical
-        # gradient.
+        # Why the ÷num is EXACT (not empirical calibration) — derivation:
+        # the bricked march's forward is, per window,
+        #     s_{k+1} = psum_d(m_d ⊙ step_d(s_k, θ_d))
+        # where the ownership masks m_d form a PARTITION OF UNITY over rays
+        # (exactly-once combine, trace_rays_bricked), and the final loss
+        # L = f(s_K) is computed REPLICATED on every device.  With
+        # check_vma=False, jax transposes psum to psum.  Walking backward:
+        #   * the loss seed f'(s_K) is replicated, so the FIRST psum
+        #     transpose yields psum(replicated) = num · f'(s_K);
+        #   * from then on every cotangent entering a psum transpose is
+        #     masked per-device (s̄_d = m_d ⊙ …, the masks partition), so
+        #     psum(Σ_d m_d ⊙ x̄) REASSEMBLES x̄ exactly — no further factor.
+        # Hence the slab gradients carry exactly ONE global ×num, whatever
+        # the window count.  (Also verified empirically to std=0 across
+        # device and window counts in tests/test_bricks.py.)  Overlap cells
+        # additionally have their true gradient split across the two slab
+        # copies; the halo exchange reassembles it.  (g_d + g_neighbour)/num
+        # is the exact physical gradient.
         g = exchange_overlap_grads(g, axis, num) / num
+        # Runtime invariant guarding the derivation's premise: the loss must
+        # actually BE replicated across devices (bit-equal), else the ×num
+        # accounting above would be wrong.  psum(loss)/num − loss ≡ 0 when
+        # replicated; any violation NaN-poisons the returned loss (loud,
+        # jax_debug_nans-visible) at the cost of one scalar psum.
+        rep_err = jax.lax.psum(loss, axis) / num - loss
+        loss = jnp.where(rep_err == 0.0, loss, jnp.float32(jnp.nan))
         return (ior_slab - lr * g)[None], loss
 
     @jax.jit
