@@ -41,13 +41,14 @@ wp = jnp.ones_like(pos)
 wd = jnp.zeros_like(dirs)
 
 def make(a2x, ab=""):
-    def f():
+    @jax.jit
+    def f(table, ep, ed, nexec, wp, wd):
         g, dp, dd, _, _ = _bwd_impl_lines(
             table, nb, ep, ed, nexec, wp, wd,
             bend=(BEND,)*3, step=(STEP,)*3, k_steps=32, max_windows=None,
             interpret=False, budget=BUDGET, anchor2x=a2x, ablate=ab)
         return jnp.sum(g * g) + jnp.sum(dp * dp)
-    return jax.jit(f)
+    return lambda: f(table, ep, ed, nexec, wp, wd)
 
 CFG = [("bwd_1cell", make(False)), ("bwd_2x", make(True)),
        ("bwd_2x_scat1", make(True, "scat1"))]

@@ -1157,9 +1157,17 @@ def _bwd_call_lines(
 def _bwd_impl_lines(
     table, nb, end_pos, end_dir, nexec, d_pos, d_dir,
     *, bend, step, k_steps, max_windows, interpret, budget,
-    precision=jax.lax.Precision.DEFAULT, ablate="", anchor2x=True,
+    precision=jax.lax.Precision.DEFAULT, ablate="", anchor2x=False,
 ):
-    """Run the line-layout adjoint kernel; mirrors ``march_bwd._bwd_impl``."""
+    """Run the line-layout adjoint kernel; mirrors ``march_bwd._bwd_impl``.
+
+    ``anchor2x`` defaults OFF for the backward: measured on chip
+    (benchmarks/probe_bwd_2x.py) the 1-cell adjoint is ~24% faster than the
+    2-cell slab — the dual-corner-set adjoint step body (12-point gradient
+    accumulators) costs more than the wider windows save.  The FORWARD
+    kernel defaults 2x (its lighter step body nets +16%); the two choices
+    are independent (the adjoint replays the same trajectory regardless of
+    either kernel's anchor shape)."""
     n_bricks = int(table.shape[0])
     n_in = end_pos.shape[0]
     n = -(-n_in // R) * R
