@@ -50,8 +50,7 @@ def make(a2x, ab=""):
         return jnp.sum(g * g) + jnp.sum(dp * dp)
     return lambda: f(table, ep, ed, nexec, wp, wd)
 
-CFG = [("bwd_1cell", make(False)), ("bwd_2x", make(True)),
-       ("bwd_2x_scat1", make(True, "scat1"))]
+CFG = [("bwd_1cell", make(False)), ("bwd_1cell_scat1", make(False, "scat1"))]
 vals = {}
 for name, fn in CFG:
     vals[name] = float(fn())  # compile
@@ -65,3 +64,27 @@ for name, _ in CFG:
     print(f"{name}: min {ts[0]:.4f}s median {ts[2]:.4f}s "
           f"-> {N_RAYS*BUDGET/ts[0]/1e9:.4f} Gsteps/s (min)  val {vals[name]:.6e}",
           flush=True)
+
+
+# gradient accuracy of the single-pass scatter vs the hi/lo reference
+@jax.jit
+def gfold(table, ep, ed, nexec, wp, wd, ab):
+    pass  # placeholder (not used)
+
+def grad_of(ab):
+    @jax.jit
+    def f(table, ep, ed, nexec, wp, wd):
+        g, dp, dd, _, _ = _bwd_impl_lines(
+            table, nb, ep, ed, nexec, wp, wd,
+            bend=(BEND,)*3, step=(STEP,)*3, k_steps=32, max_windows=None,
+            interpret=False, budget=BUDGET, anchor2x=False, ablate=ab)
+        return fold_line_grads(g, packed.shape, nb)
+    out = f(table, ep, ed, nexec, wp, wd)
+    # reduce on device: full fetch would time the tunnel
+    return out
+
+gref = grad_of("")
+galt = grad_of("scat1")
+num = float(jnp.max(jnp.abs(galt - gref)))
+den = float(jnp.max(jnp.abs(gref)))
+print(f"scat1 grad maxerr/scale: {num/den:.3e}  (scale {den:.3e})", flush=True)
