@@ -31,8 +31,10 @@ def test_auto_picks_pallas_on_tpu(monkeypatch):
     assert s._select_kernel("auto", False, 4096) == "pallas"
     # below Options.minimum_device_rays (≙ _minimum_gpu, types.h:87): XLA
     assert s._select_kernel("auto", False, s.options.minimum_device_rays - 1) == "xla"
-    # path recording is XLA-only: auto must not route it to the kernel
-    assert s._select_kernel("auto", True, 4096) == "xla"
+    # path recording is in-kernel for the (default) line layout's forward
+    # march; the differentiable pair still routes to XLA
+    assert s._select_kernel("auto", True, 4096) == "pallas"
+    assert s._select_kernel("auto", True, 4096, differentiable=True) == "xla"
 
 
 def test_auto_threshold_is_configurable(monkeypatch):
@@ -50,9 +52,9 @@ def test_auto_2d_stays_xla(monkeypatch):
     assert s._select_kernel("auto", False, 4096) == "xla"
 
 
-def test_pallas_trace_path_falls_back_to_xla():
-    """kernel='pallas' + trace_path warns and routes via XLA (the result
-    carries the recorded path, proving the fallback executed)."""
+def test_pallas_trace_path_runs_in_kernel():
+    """kernel='pallas' + trace_path records the per-step path IN KERNEL
+    (march_lines record_path) and matches the XLA recording."""
     s = _scene3d()
     pos = np.array([[2.0, 8.0, 8.0]], np.float32)
     dirs = np.array([[16.0, 0.0, 0.0]], np.float32)
@@ -62,6 +64,20 @@ def test_pallas_trace_path_falls_back_to_xla():
     )
     # path rows = budget + 1 (the start entry, ≙ .cu:333)
     assert res.path is not None and res.path.shape[1] == 33
+    ref = s.trace_rays(
+        pos, dirs, iterations=32, mode="float", kernel="xla",
+        trace_path=True, invscale=[2.0] * 3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.path), np.asarray(ref.path)[:, :33], rtol=0, atol=1e-4
+    )
+
+
+def test_pallas_differentiable_trace_path_falls_back_to_xla():
+    """trace_path + differentiable warns and routes via XLA (the custom_vjp
+    kernel pair does not record paths)."""
+    s = _scene3d()
+    assert s._select_kernel("pallas", True, 4096, differentiable=True) == "xla"
 
 
 def test_pallas_2d_falls_back_to_xla():

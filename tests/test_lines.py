@@ -339,3 +339,29 @@ def test_lines_anchor2x_matches_jnp(budget):
         np.asarray(res.end_direction), np.asarray(ref.end_direction),
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_lines_record_path_matches_xla_path():
+    """In-kernel path recording (≙ the reference's trace_path,
+    cuda_volume_raytracer.cu:333,348-358): the per-ray step paths recovered
+    from the window snapshot buffer must equal the XLA march's recorded
+    path exactly (same trajectory, same back-fill contract)."""
+    ior, tr = _scene(40)
+    packed = build_packed_field(ior, tr)
+    pos, dirs, _ = _rays(12, hi=30.0, seed=2)
+    budget = 80
+
+    ref = march_ops.march_float(
+        packed, None, pos, dirs, budget,
+        bend_scale=BEND, step_scale=STEP, chunk_steps=16, record_path=True,
+    )
+    res = march_lines(
+        packed, pos, dirs, budget,
+        bend_scale=BEND, step_scale=STEP, k_steps=8, interpret=True,
+        record_path=True,
+    )
+    assert res.path is not None
+    rp = np.asarray(ref.path)[:, : budget + 1]
+    lp = np.asarray(res.path)
+    assert lp.shape == (12, budget + 1, 3)
+    np.testing.assert_allclose(lp, rp, rtol=0, atol=1e-4)

@@ -161,13 +161,9 @@ def _march_kernel_lines(
     dx_ref, dy_ref, dz_ref,
     rem_ref, alive_ref,  # (8, 128) i32 blocks
     br_ref,
-    # outputs
-    opx_ref, opy_ref, opz_ref, odx_ref, ody_ref, odz_ref,
-    orem_ref, oalive_ref, obr_ref, ow_ref,
-    # scratch
-    brick_ref,  # (RS, LS, LL) f32 per-sublane resident line bricks
-    dma_sem,
-    *,
+    # outputs (+ optional path_ref in ANY/HBM when record_path), then
+    # scratch: brick_ref, (optional pbuf_ref,) dma_sem (+ path_sem)
+    *refs,
     max_windows: int,
     k_steps: int,
     bounds: Tuple[int, int, int],
@@ -179,7 +175,16 @@ def _march_kernel_lines(
     precision,
     ablate: str = "",
     anchor2x: bool = False,
+    record_path: bool = False,
 ):
+    if record_path:
+        (opx_ref, opy_ref, opz_ref, odx_ref, ody_ref, odz_ref,
+         orem_ref, oalive_ref, obr_ref, ow_ref, path_ref,
+         brick_ref, pbuf_ref, dma_sem, path_sem) = refs
+    else:
+        (opx_ref, opy_ref, opz_ref, odx_ref, ody_ref, odz_ref,
+         orem_ref, oalive_ref, obr_ref, ow_ref,
+         brick_ref, dma_sem) = refs
     xb = jnp.float32(bounds[0] - 1)
     yb = jnp.float32(bounds[1] - 1)
     zb = jnp.float32(bounds[2] - 1)
@@ -189,6 +194,7 @@ def _march_kernel_lines(
     minb = jnp.float32(min_bright)
     nblk = 6 if anchor2x else 4
     iota = jax.lax.broadcasted_iota(jnp.int32, (LL, nblk * RL), 0)
+    tile_id = pl.program_id(0) if record_path else None
 
     state0 = (
         px_ref[:], py_ref[:], pz_ref[:],
@@ -427,7 +433,24 @@ def _march_kernel_lines(
 
         def ch_body(c):
             j, _, s = c
-            s = jax.lax.fori_loop(0, step_chunk, step_body, s)
+            if record_path:
+                # record every lane's position after every step of this
+                # window into the VMEM staging buffer; stalled lanes repeat
+                # their position and the host driver dedups (an executed
+                # step always moves a ray, so consecutive-equal == stall)
+                base_k = j * step_chunk
+
+                def body(k, carry):
+                    carry = step_body(k, carry)
+                    idx = base_k + k
+                    pbuf_ref[pl.ds(idx, 1), 0] = carry[0][None]
+                    pbuf_ref[pl.ds(idx, 1), 1] = carry[1][None]
+                    pbuf_ref[pl.ds(idx, 1), 2] = carry[2][None]
+                    return carry
+
+                s = jax.lax.fori_loop(0, step_chunk, body, s)
+            else:
+                s = jax.lax.fori_loop(0, step_chunk, step_body, s)
             fx2 = s[0] - basex
             fy2 = s[1] - basey
             fz2 = s[2] - basez
@@ -436,6 +459,11 @@ def _march_kernel_lines(
                 | (fz2 < 0) | (fz2 >= 1.0)
             )
             cont = jnp.any(evaluable_w & ~crossed2 & (s[6] > 0))
+            if record_path:
+                # the early exit would leave the staging buffer's tail rows
+                # unwritten (stale/NaN) — in record mode run every chunk;
+                # the dead steps' writes repeat positions and dedup away
+                cont = jnp.asarray(True)
             return j + 1, cont, s
 
         _, _, state = jax.lax.while_loop(
@@ -447,6 +475,14 @@ def _march_kernel_lines(
                 (px, py, pz, dx, dy, dz, rem, alive, br),
             ),
         )
+
+        if record_path:
+            # one DMA per window: staging buffer -> path_hbm[tile, w]
+            cp = pltpu.make_async_copy(
+                pbuf_ref, path_ref.at[tile_id, w], path_sem
+            )
+            cp.start()
+            cp.wait()
         return w + 1, new_ids, state
 
     w, _, state = jax.lax.while_loop(
@@ -471,13 +507,14 @@ def _march_kernel_lines(
     static_argnames=(
         "budget", "k_steps", "max_windows", "interpret",
         "bounds", "nb", "bend", "step", "min_bright", "has_absorb",
-        "n_tiles", "precision", "ablate", "anchor2x",
+        "n_tiles", "precision", "ablate", "anchor2x", "record_path",
     ),
 )
 def _march_call_lines(
     table, px, py, pz, dx, dy, dz, rem, alive, br,
     *, budget, k_steps, max_windows, interpret, bounds, nb, bend, step,
     min_bright, has_absorb, n_tiles, precision, ablate="", anchor2x=False,
+    record_path=False,
 ):
     kernel = functools.partial(
         _march_kernel_lines,
@@ -492,11 +529,34 @@ def _march_call_lines(
         precision=precision,
         ablate=ablate,
         anchor2x=anchor2x,
+        record_path=record_path,
     )
     n = n_tiles * R
     state_spec = pl.BlockSpec((RS, RL), lambda t: (t, 0))
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     f32s = jax.ShapeDtypeStruct((n // RL, RL), jnp.float32)
     i32s = jax.ShapeDtypeStruct((n // RL, RL), jnp.int32)
+    out_specs = [state_spec] * 10
+    out_shape = [f32s] * 6 + [i32s, i32s, f32s, i32s]
+    scratch = [
+        pltpu.VMEM((RS, LS, LL), jnp.float32),
+        pltpu.SemaphoreType.DMA((RS,)),
+    ]
+    if record_path:
+        # per-window position snapshots, unscrambled to per-ray paths by
+        # the driver (march_lines record_path docstring)
+        out_specs = out_specs + [any_spec]
+        out_shape = out_shape + [
+            jax.ShapeDtypeStruct(
+                (n_tiles, max_windows, k_steps, 3, RS, RL), jnp.float32
+            )
+        ]
+        scratch = [
+            scratch[0],
+            pltpu.VMEM((k_steps, 3, RS, RL), jnp.float32),
+            scratch[1],
+            pltpu.SemaphoreType.DMA,
+        ]
     call = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -504,12 +564,9 @@ def _march_call_lines(
             pl.BlockSpec(memory_space=pl.ANY),  # line table stays in HBM
             *[state_spec] * 9,
         ],
-        out_specs=[state_spec] * 10,
-        out_shape=[f32s] * 6 + [i32s, i32s, f32s, i32s],
-        scratch_shapes=[
-            pltpu.VMEM((RS, LS, LL), jnp.float32),
-            pltpu.SemaphoreType.DMA((RS,)),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
     )
     return call(table, px, py, pz, dx, dy, dz, rem, alive, br)
@@ -549,6 +606,7 @@ def march_lines(
     return_state: bool = False,
     init_state: Optional[dict] = None,
     anchor2x: bool = True,
+    record_path: bool = False,
     _ablate: str = "",
 ) -> TraceResult:
     """Forward float march using the line-walking kernel.
@@ -556,6 +614,19 @@ def march_lines(
     Same contract as ``march_pallas`` (semantics of ``ops.march.march_float``
     with ``opaque_when_positive=True``); ``table``/``nb`` must come from
     ``build_line_table``.
+
+    ``record_path=True`` additionally returns per-ray step paths
+    (``TraceResult.path``, (N, budget, 3): entry 0 = start position, then
+    the position after each executed step, back-filled with the end
+    position — the reference's ``trace_path`` contract,
+    /root/reference/src/cuda_volume_raytracer.cu:333,348-358).  In-kernel
+    implementation: every window DMAs a (k_steps, 3, 8, 128) snapshot
+    buffer to HBM (stalled lanes repeat their position; an executed step
+    always moves a ray, so the host driver recovers each ray's path by
+    dropping consecutive duplicates).  The raw buffer is
+    max_windows × k_steps × 12 KB per ray tile — a debug feature for
+    moderate batch/budget sizes; the driver raises beyond ~4 GB (pass a
+    smaller ``max_windows``).
 
     ``init_state``: optional ``{"remaining", "alive", "brightness"}`` dict
     (the raw dict a previous ``return_state=True`` call returned) that seeds
@@ -604,6 +675,14 @@ def march_lines(
 
     if max_windows is None:
         max_windows = 2 * budget + 64
+    if record_path:
+        path_bytes = (n // R) * max_windows * k_steps * 3 * R * 4
+        if path_bytes > 4 << 30:
+            raise ValueError(
+                f"record_path buffer would need {path_bytes/2**30:.1f} GiB "
+                f"({n} rays x {max_windows} windows x {k_steps} steps); "
+                "reduce the batch/budget or pass a smaller max_windows"
+            )
 
     rows = n // RL
     outs = _march_call_lines(
@@ -618,8 +697,9 @@ def march_lines(
         min_bright=float(minimum_brightness) / BRIGHT_MAX_F,
         has_absorb=has_absorb,
         n_tiles=n // R, precision=precision, ablate=_ablate,
-        anchor2x=anchor2x,
+        anchor2x=anchor2x, record_path=record_path,
     )
+    raw_path = outs[10] if record_path else None
     windows_used = outs[9][:: R // RL, 0]
     outs = [o.reshape(n) for o in outs[:9]]
     if inv is not None:
@@ -638,17 +718,54 @@ def march_lines(
         jnp.uint32(0xFFFFFFFF),
         (br * BRIGHT_MAX_F).astype(jnp.uint32),
     )
+    path = None
+    if record_path:
+        path = _unscramble_path(
+            raw_path, windows_used, pos, budget,
+            None if inv is None else np.asarray(inv), n_in,
+        )
     result = TraceResult(
         end_position=end_pos,
         end_direction=end_dir,
         end_iteration=end_iteration,
         remaining_light=remaining_light,
-        path=None,
+        path=path,
         windows_used=windows_used,
     )
     if return_state:
         return result, {"remaining": rem, "alive": alive, "brightness": br}
     return result
+
+
+def _unscramble_path(raw, windows_used, start_sorted, budget, inv, n_in):
+    """(T, MW, K, 3, RS, RL) window snapshots → (n_in, budget+1, 3) per-ray
+    paths (host-side, numpy — debug feature): row 0 = start, row t =
+    position after step t, back-filled with the end position — the XLA
+    march's record_path contract.  Consecutive-duplicate positions are
+    stalls (an executed step always moves a ray)."""
+    raw = np.asarray(raw)
+    T, MW, K = raw.shape[:3]
+    wu = np.asarray(windows_used)
+    start = np.asarray(start_sorted)  # (T·R, 3), sorted order
+    out = np.zeros((T * R, budget + 1, 3), np.float32)
+    for t in range(T):
+        w = int(wu[t])
+        # (w·K, 3, RS, RL) → (RS·RL, w·K, 3), chronological per ray
+        seq = np.transpose(raw[t, :w].reshape(w * K, 3, RS, RL), (2, 3, 0, 1))
+        seq = seq.reshape(R, w * K, 3)
+        s0 = start[t * R : (t + 1) * R]
+        prev = np.concatenate([s0[:, None], seq[:, :-1]], axis=1)
+        moved = np.any(seq != prev, axis=-1)  # (R, w·K)
+        for r in range(R):
+            row = out[t * R + r]
+            row[0] = s0[r]
+            pts = seq[r][moved[r]][:budget]
+            m = len(pts)
+            row[1 : 1 + m] = pts
+            row[1 + m :] = pts[-1] if m else s0[r]
+    if inv is not None:
+        out = out[inv]
+    return out[:n_in]
 
 
 # ---------------------------------------------------------------------------

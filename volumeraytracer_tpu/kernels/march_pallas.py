@@ -570,6 +570,7 @@ def march_pallas(
     nb: Optional[Tuple[int, int, int]] = None,
     return_state: bool = False,
     layout: str = "points",
+    record_path: bool = False,
     _ablate: str = "",
 ) -> TraceResult:
     """Forward float march through ``packed`` using the brick-walking kernel.
@@ -606,7 +607,9 @@ def march_pallas(
             max_windows=max_windows, interpret=interpret,
             sort_rays=sort_rays, precision=precision,
             table=table, nb=nb, return_state=return_state,
+            record_path=record_path,
         )
+    assert record_path is False, "record_path requires layout='lines'"
     assert packed.ndim == 4 and packed.shape[-1] == NCH, "3D packed field required"
     n_in, dim = start_position.shape
     assert dim == 3

@@ -216,11 +216,14 @@ class RaytraceScene:
                     pos, dirs, tuple(invscale.tolist()), iterations,
                     trace_path, normalize_length, differentiable,
                 )
-            kernel = self._select_kernel(kernel, trace_path, int(pos.shape[0]))
+            kernel = self._select_kernel(
+                kernel, trace_path, int(pos.shape[0]), differentiable
+            )
             if kernel == "pallas":
                 return self._trace_float_pallas(
                     pos, dirs, tuple(invscale.tolist()), iterations,
                     minimum_brightness, normalize_length, differentiable,
+                    trace_path,
                 )
             return self._trace_float(
                 pos,
@@ -235,7 +238,8 @@ class RaytraceScene:
             )
         raise ValueError(f"unknown mode {mode!r}")
 
-    def _select_kernel(self, kernel: str, trace_path: bool, n_rays: int) -> str:
+    def _select_kernel(self, kernel: str, trace_path: bool, n_rays: int,
+                       differentiable: bool = False) -> str:
         """Resolve the float-path kernel (≙ the reference scheduler's
         ray-count GPU/CPU auto-dispatch, cuda_volume_raytracer.cu:804-810).
 
@@ -247,10 +251,15 @@ class RaytraceScene:
         the way the reference compiles dead features away rather than
         failing (DummyArray/DummyObject, cuda_volume_raytracer.cu:216-236).
         """
+        from ..parallel.shard import PALLAS_LAYOUT
+
         unsupported = []
         if self.dim != 3:
             unsupported.append("2D volumes")
-        if trace_path:
+        # path recording is in-kernel for the line layout's forward march
+        # (march_lines record_path); the differentiable custom_vjp pair and
+        # the point layout do not record paths
+        if trace_path and (differentiable or PALLAS_LAYOUT != "lines"):
             unsupported.append("trace_path")
         if kernel == "pallas":
             if unsupported:
@@ -425,7 +434,8 @@ class RaytraceScene:
         return fn(self.packed, self.translucency_cropped, self.ior, pos, dirs)
 
     def _trace_float_pallas(self, pos, dirs, invscale, iterations,
-                            minimum_brightness, normalize_length, differentiable):
+                            minimum_brightness, normalize_length, differentiable,
+                            trace_path=False):
         """Float forward via the brick-walking Pallas TPU kernel
         (kernels/march_pallas.py); interpret mode off-TPU so the same path is
         testable on CPU (≙ the reference's -DNCUDA build of the kernel)."""
@@ -446,6 +456,9 @@ class RaytraceScene:
             from ..kernels.march_bwd import march_pallas_diff as march_fn
         else:
             from ..kernels.march_pallas import march_pallas as march_fn
+        kw = {}
+        if trace_path and not differentiable:
+            kw["record_path"] = True
         res = march_fn(
             self.packed,
             p,
@@ -457,13 +470,16 @@ class RaytraceScene:
             minimum_brightness=minimum_brightness,
             interpret=interpret,
             layout=PALLAS_LAYOUT,
+            **kw,
         )
+        # +1 voxel back into the scene frame, paths included
+        # (image_util.cpp:770-771)
         return TraceResult(
             end_position=res.end_position + 1.0,
             end_direction=res.end_direction,
             end_iteration=res.end_iteration,
             remaining_light=res.remaining_light,
-            path=None,
+            path=None if res.path is None else jnp.asarray(res.path) + 1.0,
         )
 
     def _trace_float_native(self, pos, dirs, invscale, iterations, trace_path,
