@@ -443,12 +443,15 @@ def make_brick_train_step(
         # is the exact physical gradient.
         g = exchange_overlap_grads(g, axis, num) / num
         # Runtime invariant guarding the derivation's premise: the loss must
-        # actually BE replicated across devices (bit-equal), else the ×num
-        # accounting above would be wrong.  psum(loss)/num − loss ≡ 0 when
-        # replicated; any violation NaN-poisons the returned loss (loud,
-        # jax_debug_nans-visible) at the cost of one scalar psum.
-        rep_err = jax.lax.psum(loss, axis) / num - loss
-        loss = jnp.where(rep_err == 0.0, loss, jnp.float32(jnp.nan))
+        # actually BE replicated across devices, else the ×num accounting
+        # above would be wrong.  psum(loss)/num − loss is 0 up to collective
+        # reduction-order ulps when replicated (the all-reduce result can
+        # differ across participants by rounding); a violation beyond that
+        # NaN-poisons the returned loss (loud, jax_debug_nans-visible) at
+        # the cost of one scalar psum.
+        rep_err = jnp.abs(jax.lax.psum(loss, axis) / num - loss)
+        tol = 1e-5 * (jnp.abs(loss) + 1.0)
+        loss = jnp.where(rep_err <= tol, loss, jnp.float32(jnp.nan))
         return (ior_slab - lr * g)[None], loss
 
     @jax.jit
