@@ -29,7 +29,7 @@ yy, zz = np.meshgrid(ys, ys, indexing="ij")
 pos = jnp.asarray(np.stack([np.full(side*side, 1.5, np.float32), yy.ravel(), zz.ravel()], -1))
 dirs = jnp.asarray(np.tile(np.array([[16.0, 0, 0]], np.float32), (side*side, 1)))
 
-VARIANTS = [("base_k32", False, 32), ("a2x_k32", True, 32), ("a2x_k48", True, 48)]
+VARIANTS = [("a2x_k32", True, 32), ("a2x_k64", True, 64)]
 
 def run(a2x, k):
     out = march_lines(packed, pos, dirs, BUDGET, bend_scale=BEND,

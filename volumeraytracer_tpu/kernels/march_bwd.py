@@ -637,7 +637,7 @@ def _bwd_impl(
 
 @functools.lru_cache(maxsize=32)
 def _make_vjp_fn(budget, bend, step, min_bright, has_absorb, k_steps,
-                 max_windows, interpret, layout="points"):
+                 max_windows, interpret, layout="points", k_steps_bwd=None):
     """custom_vjp'd (packed, pos, dirs, absorb) → TraceResult fields for
     fixed static march parameters (cached so repeated calls don't re-trace).
 
@@ -710,7 +710,8 @@ def _make_vjp_fn(budget, bend, step, min_bright, has_absorb, k_steps,
         nb = grid_fn(packed.shape)
         gtable, d_pos0, d_dir0, _, windows_used = bwd_impl_fn(
             table, nb, end_pos, end_dir, nexec, d_pos, d_dir,
-            bend=bend, step=step, k_steps=k_steps,
+            bend=bend, step=step,
+            k_steps=k_steps if k_steps_bwd is None else k_steps_bwd,
             max_windows=max_windows, interpret=interpret, budget=budget,
         )
         d_packed = fold_fn(gtable, packed.shape, nb)
@@ -747,6 +748,7 @@ def march_pallas_diff(
     max_windows: Optional[int] = None,
     interpret: bool = False,
     layout: str = "points",
+    k_steps_bwd: Optional[int] = None,
 ) -> TraceResult:
     """Differentiable Pallas march: a TraceResult whose ``end_position`` and
     ``end_direction`` carry gradients to ``packed``, ``start_position`` and
@@ -757,6 +759,9 @@ def march_pallas_diff(
     absorption; ``translucency``/``minimum_brightness`` influence only the
     non-differentiable outputs and termination (straight-through).
     ``layout``: "points" or "lines" (see ``_make_vjp_fn``).
+    ``k_steps_bwd``: window step count for the adjoint kernel when it
+    should differ from the forward's (the forward's 2x anchor prefers a
+    longer k than the 1-cell adjoint — benchmarks/perf_notes.md).
     """
     bend = tuple(
         float(v) for v in np.broadcast_to(np.asarray(bend_scale, np.float32), (3,))
@@ -774,6 +779,7 @@ def march_pallas_diff(
         int(budget), bend, step, int(minimum_brightness), has_absorb,
         int(k_steps), max_windows if max_windows is None else int(max_windows),
         bool(interpret), str(layout),
+        None if k_steps_bwd is None else int(k_steps_bwd),
     )
     end_pos, end_dir, end_iter, light, windows = f(
         packed, start_position, start_direction, absorb

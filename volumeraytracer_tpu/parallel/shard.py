@@ -222,7 +222,10 @@ def endpoint_render(
             budget,
             bend_scale=float(invscale) / float(FIX_ONE),
             step_scale=float(invscale) * (STEP_CONST / float(FIX_ONE) / float(FIX_ONE)),
-            k_steps=32,
+            # fwd (2x anchor) measured fastest at k=64, the 1-cell adjoint
+            # at k=32 (benchmarks/probe_anchor2x_interleaved.py)
+            k_steps=64,
+            k_steps_bwd=32,
             interpret=jax.default_backend() not in ("tpu", "axon"),
             layout=layout or PALLAS_LAYOUT,
         )
