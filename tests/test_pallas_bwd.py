@@ -247,3 +247,42 @@ def test_truncated_adjoint_poisons_gradients():
     # force saturation: 2 windows cannot replay a 100+-step march
     g_trunc = jax.grad(lambda p: loss(p, 2))(packed)
     assert np.isnan(np.asarray(g_trunc)).all()
+
+
+def test_exact_max_windows_finish_not_poisoned():
+    """A replay that legitimately finishes in EXACTLY max_windows windows
+    carries fully propagated adjoints — the truncation detector keys on
+    residual reverse budget (sign-encoded windows_used), not the window
+    count, so this must NOT be poisoned."""
+    packed = build_packed_field(_grin(24))
+    pos, dirs, _ = _rays(8, lo=3.0, hi=18.0, seed=3)
+    budget = 120
+
+    res, raw = march_pallas(
+        packed, pos, dirs, budget, bend_scale=BEND, step_scale=STEP,
+        k_steps=8, interpret=True, return_state=True,
+    )
+    table, nb = build_brick_table(packed)
+    nexec = jnp.maximum(jnp.int32(budget - 1) - raw["remaining"], 0)
+
+    def run_bwd(mw):
+        return _bwd_impl(
+            table, nb, res.end_position, res.end_direction, nexec,
+            jnp.ones_like(pos), jnp.ones_like(dirs),
+            bend=(BEND,) * 3, step=(STEP,) * 3, k_steps=8, max_windows=mw,
+            interpret=True, budget=budget,
+        )
+
+    _, _, _, _, windows = run_bwd(None)
+    w_needed = int(np.asarray(windows).max())
+    assert w_needed > 1
+
+    # cap at exactly the needed window count: complete, not truncated
+    gtable, d_pos0, d_dir0, _, windows_exact = run_bwd(w_needed)
+    assert (np.asarray(windows_exact) >= 0).all()  # no residual flag
+    assert np.isfinite(np.asarray(gtable)).all()
+    assert np.isfinite(np.asarray(d_pos0)).all()
+
+    # one window fewer: genuinely truncated, residual flag set
+    _, _, _, _, windows_short = run_bwd(w_needed - 1)
+    assert (np.asarray(windows_short) < 0).any()

@@ -467,9 +467,13 @@ def _bwd_kernel(
     orx_ref[:] = px
     ory_ref[:] = py
     orz_ref[:] = pz
-    # windows used (== max_windows ⇒ truncated adjoint replay; rays whose
-    # reverse budget was not exhausted carry partially propagated adjoints)
-    ow_ref[:] = jnp.full((RS, RL), 1, jnp.int32) * w
+    # windows used, sign-encoding truncation: a NEGATIVE value -(w+1) means
+    # the replay exited with residual reverse budget (any rrem > 0) — i.e.
+    # partially propagated adjoints.  The window count alone cannot detect
+    # this: a tile that legitimately finishes in exactly max_windows windows
+    # also exits with w == max_windows.
+    resid = jnp.any(rrem > 0)
+    ow_ref[:] = jnp.full((RS, RL), 1, jnp.int32) * jnp.where(resid, -(w + 1), w)
 
 
 @functools.partial(
@@ -715,13 +719,15 @@ def _make_vjp_fn(budget, bend, step, min_bright, has_absorb, k_steps,
             max_windows=max_windows, interpret=interpret, budget=budget,
         )
         d_packed = fold_fn(gtable, packed.shape, nb)
-        # Truncation is an ERROR, not a diagnostic: a tile that saturated
-        # max_windows left partially propagated adjoints.  Poison every
+        # Truncation is an ERROR, not a diagnostic: a tile that exited the
+        # replay with residual reverse budget (sign-encoded by the kernel as
+        # windows_used < 0) left partially propagated adjoints.  Poison every
         # gradient with NaN so the failure is loud (optimizers diverge,
         # jax_debug_nans trips) instead of silently wrong — raising is
-        # impossible on traced values inside custom_vjp.
-        mw = max_windows if max_windows is not None else 2 * budget + 64
-        truncated = jnp.any(windows_used >= mw)
+        # impossible on traced values inside custom_vjp.  (A window-count
+        # heuristic would false-positive on tiles that legitimately finish
+        # in exactly max_windows windows.)
+        truncated = jnp.any(windows_used < 0)
         poison = jnp.where(truncated, jnp.float32(jnp.nan), jnp.float32(1.0))
         return (
             d_packed * poison,

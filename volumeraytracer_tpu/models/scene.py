@@ -217,7 +217,8 @@ class RaytraceScene:
                     trace_path, normalize_length, differentiable,
                 )
             kernel = self._select_kernel(
-                kernel, trace_path, int(pos.shape[0]), differentiable
+                kernel, trace_path, int(pos.shape[0]), differentiable,
+                iterations,
             )
             if kernel == "pallas":
                 return self._trace_float_pallas(
@@ -239,7 +240,8 @@ class RaytraceScene:
         raise ValueError(f"unknown mode {mode!r}")
 
     def _select_kernel(self, kernel: str, trace_path: bool, n_rays: int,
-                       differentiable: bool = False) -> str:
+                       differentiable: bool = False,
+                       iterations: int = 0) -> str:
         """Resolve the float-path kernel (≙ the reference scheduler's
         ray-count GPU/CPU auto-dispatch, cuda_volume_raytracer.cu:804-810).
 
@@ -261,6 +263,18 @@ class RaytraceScene:
         # the point layout do not record paths
         if trace_path and (differentiable or PALLAS_LAYOUT != "lines"):
             unsupported.append("trace_path")
+        # the in-kernel recorder stages a (max_windows, k_steps, 3, 8, 128)
+        # snapshot per ray tile and march_lines hard-caps the HBM buffer at
+        # 4 GiB; in auto mode estimate it (march_pallas defaults k_steps=16,
+        # max_windows=2·budget+64) and prefer the XLA march (whose path
+        # buffer is just budget×3 per ray) instead of erroring — explicit
+        # kernel='pallas' keeps the in-kernel recorder and its ValueError
+        path_too_big = False
+        if trace_path and not unsupported:
+            n_tiles = -(-max(n_rays, 1) // 1024)
+            max_windows = 2 * int(iterations) + 64
+            path_bytes = n_tiles * max_windows * 16 * 3 * 1024 * 4
+            path_too_big = path_bytes > 4 << 30
         if kernel == "pallas":
             if unsupported:
                 self._log.warning(
@@ -273,6 +287,7 @@ class RaytraceScene:
             on_tpu = jax.default_backend() in ("tpu", "axon")
             if (
                 not unsupported
+                and not path_too_big
                 and on_tpu
                 and n_rays >= self.options.minimum_device_rays
             ):
