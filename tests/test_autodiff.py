@@ -138,3 +138,68 @@ def test_soft_termination_opacity_gradient():
     lo = tr.copy(); lo[i, j, k] -= eps
     fd = (float(loss(jnp.asarray(hi))) - float(loss(jnp.asarray(lo)))) / (2 * eps)
     assert fd == pytest.approx(float(g[i, j, k]), rel=2e-2)
+
+
+def test_soft_termination_through_public_api():
+    """VERDICT r4 item 6: ``soft_opacity_tau`` exposed through the public
+    API (``endpoint_render`` / ``RaytraceScene.trace_rays``) with the
+    automatic XLA route — the opacity/translucency gradient FD-checks
+    through ``endpoint_render(..., return_transmittance=True)``."""
+    from volumeraytracer_tpu.parallel.shard import endpoint_render
+
+    n = 20
+    ior = np.ones((n, n, n), np.float32)
+    tr = np.ones((n, n, n), np.float32)
+    tr[8:12] = 0.501  # semi-transparent wall (see the unit test above)
+
+    pos = jnp.asarray([[3.0, 10.0, 10.0]], jnp.float32)
+    dirs = jnp.asarray([[4.0, 0.0, 0.0]], jnp.float32)
+
+    def loss(t):
+        # speed 4, invscale 1 ⇒ ~0.064 voxel/step; 256 steps ≈ 16 voxels —
+        # through the wall at x ≈ 8-12
+        _, _, trans = endpoint_render(
+            jnp.asarray(ior), pos, dirs, 256, 1.0, 16,
+            soft_opacity_tau=256.0, translucency=t,
+            return_transmittance=True,
+        )
+        return jnp.sum(trans)
+
+    t0 = float(loss(jnp.asarray(tr)))
+    assert 0.0 < t0 < 1.0
+    g = np.asarray(jax.grad(loss)(jnp.asarray(tr)))
+    assert np.isfinite(g).all()
+    ij = np.unravel_index(np.argmax(np.abs(g)), g.shape)
+    assert np.abs(g[ij]) > 0
+    eps = 1e-4
+    hi = tr.copy(); hi[ij] += eps
+    lo = tr.copy(); lo[ij] -= eps
+    fd = (float(loss(jnp.asarray(hi))) - float(loss(jnp.asarray(lo)))) / (2 * eps)
+    assert fd == pytest.approx(float(g[ij]), rel=2e-2)
+
+
+def test_scene_trace_rays_soft_opacity_tau():
+    """RaytraceScene.trace_rays(mode='float', soft_opacity_tau=...) routes
+    to the XLA march and returns a transmittance in (0, 1)."""
+    from volumeraytracer_tpu import RaytraceScene
+
+    n = 20
+    ior = np.ones((n, n, n), np.float32)
+    tr = np.full((n, n, n), 0xFFFFFFFF, np.uint32)
+    tr[8:12] = int(0.501 * 0xFFFFFFFF)
+    sc = RaytraceScene(ior, tr)
+    res = sc.trace_rays(
+        jnp.asarray([[3.0, 10.0, 10.0]], jnp.float32),
+        jnp.asarray([[4.0, 0.0, 0.0]], jnp.float32),
+        iterations=256, mode="float", soft_opacity_tau=256.0,
+    )
+    assert res.transmittance is not None
+    t = float(res.transmittance[0])
+    assert 0.0 < t < 1.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sc.trace_rays(
+            jnp.asarray([[0x30000, 0xA0000, 0xA0000]], jnp.uint32),
+            jnp.asarray([[4.0, 0.0, 0.0]], jnp.float32),
+            iterations=32, mode="fixed", soft_opacity_tau=256.0,
+        )

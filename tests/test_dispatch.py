@@ -32,9 +32,17 @@ def test_auto_picks_pallas_on_tpu(monkeypatch):
     # below Options.minimum_device_rays (≙ _minimum_gpu, types.h:87): XLA
     assert s._select_kernel("auto", False, s.options.minimum_device_rays - 1) == "xla"
     # path recording is in-kernel for the (default) line layout's forward
-    # march; the differentiable pair still routes to XLA
+    # march; since round 5 the differentiable pair records too (raw
+    # snapshots threaded through the custom_vjp, host unscramble)
     assert s._select_kernel("auto", True, 4096) == "pallas"
-    assert s._select_kernel("auto", True, 4096, differentiable=True) == "xla"
+    assert s._select_kernel("auto", True, 4096, differentiable=True) == "pallas"
+    # ... but only for eager calls; under a jit trace the recorder cannot
+    # unscramble on the host, so auto falls back to the XLA march
+    import jax.numpy as jnp
+
+    assert jax.jit(
+        lambda _: s._select_kernel("auto", True, 4096, differentiable=True) == "xla"
+    )(jnp.float32(0.0))
 
 
 def test_auto_threshold_is_configurable(monkeypatch):
@@ -74,10 +82,11 @@ def test_pallas_trace_path_runs_in_kernel():
 
 
 def test_pallas_differentiable_trace_path_falls_back_to_xla():
-    """trace_path + differentiable warns and routes via XLA (the custom_vjp
-    kernel pair does not record paths)."""
+    """Since round 5 the custom_vjp kernel pair records paths too (raw
+    snapshots through the vjp, host unscramble) — explicit pallas requests
+    stay on the kernel for eager calls."""
     s = _scene3d()
-    assert s._select_kernel("pallas", True, 4096, differentiable=True) == "xla"
+    assert s._select_kernel("pallas", True, 4096, differentiable=True) == "pallas"
 
 
 def test_pallas_2d_falls_back_to_xla():

@@ -286,3 +286,52 @@ def test_exact_max_windows_finish_not_poisoned():
     # one window fewer: genuinely truncated, residual flag set
     _, _, _, _, windows_short = run_bwd(w_needed - 1)
     assert (np.asarray(windows_short) < 0).any()
+
+
+def test_differentiable_trace_path():
+    """VERDICT r4 item 9: trace_rays(trace_path=True, differentiable=True)
+    stays on the kernel pair — the raw in-kernel snapshots thread through
+    the custom_vjp and unscramble host-side; the recorded path matches the
+    non-differentiable recording and gradients still flow."""
+    packed = build_packed_field(_grin(24))
+    pos, dirs, _ = _rays(8, lo=3.0, hi=18.0, seed=5)
+    budget = 80
+
+    ref = march_pallas_diff(
+        packed, pos, dirs, budget, bend_scale=BEND, step_scale=STEP,
+        k_steps=8, interpret=True, layout="lines",
+    )
+    rec = march_pallas_diff(
+        packed, pos, dirs, budget, bend_scale=BEND, step_scale=STEP,
+        k_steps=8, interpret=True, layout="lines", record_path=True,
+    )
+    assert rec.path is not None and rec.path.shape == (8, budget + 1, 3)
+    np.testing.assert_allclose(
+        np.asarray(rec.end_position), np.asarray(ref.end_position), atol=1e-6
+    )
+    # path row 0 = start, final rows = end position
+    np.testing.assert_allclose(np.asarray(rec.path[:, 0]), np.asarray(pos))
+    np.testing.assert_allclose(
+        np.asarray(rec.path[:, -1]), np.asarray(rec.end_position), atol=1e-5
+    )
+    # parity with the plain (non-differentiable) in-kernel recording
+    from volumeraytracer_tpu.kernels.march_lines import march_lines
+
+    plain = march_lines(
+        packed, pos, dirs, budget, bend_scale=BEND, step_scale=STEP,
+        k_steps=8, interpret=True, record_path=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rec.path), np.asarray(plain.path), atol=1e-6
+    )
+
+    # gradients flow through the recording forward
+    def loss(p):
+        r = march_pallas_diff(
+            p, pos, dirs, budget, bend_scale=BEND, step_scale=STEP,
+            k_steps=8, interpret=True, layout="lines", record_path=True,
+        )
+        return jnp.sum(r.end_position)
+
+    g = jax.grad(loss)(packed)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0

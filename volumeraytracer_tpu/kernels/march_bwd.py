@@ -98,6 +98,20 @@ GCH = 8
 GROWS = 8 * GCH
 
 
+
+def _trace_is_eager() -> bool:
+    """True when NOT under a jit/grad/vmap trace (the host-side path
+    unscramble is only possible eagerly)."""
+    try:
+        from jax._src.core import trace_state_clean
+
+        return bool(trace_state_clean())
+    except Exception:
+        try:
+            return type(jax.core.trace_ctx.trace).__name__ == "EvalTrace"
+        except Exception:
+            return True
+
 def _bwd_kernel(
     # inputs
     table_ref,  # (NB, TCH, PVP) f32 ANY/HBM — forward point-grid table
@@ -641,7 +655,8 @@ def _bwd_impl(
 
 @functools.lru_cache(maxsize=32)
 def _make_vjp_fn(budget, bend, step, min_bright, has_absorb, k_steps,
-                 max_windows, interpret, layout="points", k_steps_bwd=None):
+                 max_windows, interpret, layout="points", k_steps_bwd=None,
+                 record_path=False):
     """custom_vjp'd (packed, pos, dirs, absorb) → TraceResult fields for
     fixed static march parameters (cached so repeated calls don't re-trace).
 
@@ -672,6 +687,9 @@ def _make_vjp_fn(budget, bend, step, min_bright, has_absorb, k_steps,
         bwd_impl_fn = _bwd_impl
         fold_fn = fold_brickmajor_grads
 
+    assert not (record_path and layout != "lines"), \
+        "record_path requires layout='lines'"
+
     def fwd_impl(packed, pos, dirs, absorb):
         # build the brick table ONCE and thread it through to the backward as
         # a residual — the reverse replay reads the same table, and the
@@ -680,6 +698,12 @@ def _make_vjp_fn(budget, bend, step, min_bright, has_absorb, k_steps,
         table, nb = build_fn(
             packed, absorb=absorb if has_absorb else None
         )
+        kw = {}
+        if record_path:
+            # raw (device-array) form: unscrambled by march_pallas_diff on
+            # the host — trace_path composes with the differentiable path
+            # (VERDICT r4 item 9; ≙ cuda_volume_raytracer.cu:333,348-358)
+            kw = dict(record_path=True, unscramble=False)
         res, raw = march_fn(
             packed, pos, dirs, budget,
             bend_scale=np.asarray(bend, np.float32),
@@ -687,15 +711,21 @@ def _make_vjp_fn(budget, bend, step, min_bright, has_absorb, k_steps,
             absorb=absorb if has_absorb else None,
             minimum_brightness=min_bright,
             k_steps=k_steps, interpret=interpret, return_state=True,
-            table=table, nb=nb,
+            table=table, nb=nb, **kw,
         )
         return res, raw, table
+
+    def _outs(res):
+        out = (res.end_position, res.end_direction, res.end_iteration,
+               res.remaining_light, res.windows_used)
+        if record_path:
+            out = out + (res.path,)  # PathRecording pytree (stop-gradient)
+        return out
 
     @jax.custom_vjp
     def f(packed, pos, dirs, absorb):
         res, _, _ = fwd_impl(packed, pos, dirs, absorb)
-        return (res.end_position, res.end_direction, res.end_iteration,
-                res.remaining_light, res.windows_used)
+        return _outs(res)
 
     def f_fwd(packed, pos, dirs, absorb):
         res, raw, table = fwd_impl(packed, pos, dirs, absorb)
@@ -703,10 +733,8 @@ def _make_vjp_fn(budget, bend, step, min_bright, has_absorb, k_steps,
         # correct even for rays still alive at the forward's max_windows cap,
         # where end_iteration would claim the whole budget
         nexec = jnp.maximum(jnp.int32(budget - 1) - raw["remaining"], 0)
-        out = (res.end_position, res.end_direction, res.end_iteration,
-               res.remaining_light, res.windows_used)
-        return out, (packed, absorb, table, res.end_position,
-                     res.end_direction, nexec)
+        return _outs(res), (packed, absorb, table, res.end_position,
+                            res.end_direction, nexec)
 
     def f_bwd(residuals, cot):
         packed, absorb, table, end_pos, end_dir, nexec = residuals
@@ -755,6 +783,7 @@ def march_pallas_diff(
     interpret: bool = False,
     layout: str = "points",
     k_steps_bwd: Optional[int] = None,
+    record_path: bool = False,
 ) -> TraceResult:
     """Differentiable Pallas march: a TraceResult whose ``end_position`` and
     ``end_direction`` carry gradients to ``packed``, ``start_position`` and
@@ -786,15 +815,29 @@ def march_pallas_diff(
         int(k_steps), max_windows if max_windows is None else int(max_windows),
         bool(interpret), str(layout),
         None if k_steps_bwd is None else int(k_steps_bwd),
+        bool(record_path),
     )
-    end_pos, end_dir, end_iter, light, windows = f(
-        packed, start_position, start_direction, absorb
-    )
+    outs = f(packed, start_position, start_direction, absorb)
+    end_pos, end_dir, end_iter, light, windows = outs[:5]
+    path = None
+    if record_path:
+        # host-side unscramble of the raw snapshots (the reference's
+        # trace_path contract) — eager calls only; under a jit/grad trace
+        # the raw PathRecording pytree is returned instead (the caller can
+        # ``unscramble_path`` it outside the trace)
+        from .march_lines import unscramble_path
+
+        if _trace_is_eager():
+            path = unscramble_path(
+                outs[5], int(budget), int(start_position.shape[0])
+            )
+        else:
+            path = outs[5]
     return TraceResult(
         end_position=end_pos,
         end_direction=end_dir,
         end_iteration=end_iter,
         remaining_light=light,
-        path=None,
+        path=path,
         windows_used=windows,
     )

@@ -34,7 +34,7 @@ in tests/test_lines.py.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +42,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 from ..types import TraceResult
+
+#: production defaults for the dual-brick residency scheduler, overridable
+#: for experiments (benchmarks/probe_r5_dual.py, bench A/Bs)
+DUAL_FWD_DEFAULT = _os.environ.get("VRT_DUAL_FWD", "1") == "1"
+DUAL_BWD_DEFAULT = _os.environ.get("VRT_DUAL_BWD", "1") == "1"
 from .march_pallas import (
     ABSORB_CH,
     BRIGHT_MAX_F,
@@ -74,6 +81,26 @@ from .line_table import (
 # table — rows c ∈ {0,1,2} carry the packed-field gradient channels, row 3
 # the (straight-through, zero) opacity slot, rows 4-7 stay zero
 GLS = LS
+
+
+class PathRecording(NamedTuple):
+    """Raw in-kernel path snapshots, all device arrays (a pytree — can flow
+    through jit/custom_vjp).  ``unscramble_path`` turns it into the
+    reference's per-ray (N, budget+1, dim) path contract on the host."""
+
+    raw: jax.Array  #: (T, MW, K, 3, RS, RL) per-window snapshots
+    start_sorted: jax.Array  #: (n, 3) start positions in kernel (sorted) order
+    inv: Optional[jax.Array]  #: sort inverse permutation (None if unsorted)
+    windows_used: jax.Array  #: (T,) windows executed per ray tile
+
+
+def unscramble_path(rec: "PathRecording", budget: int, n_in: int):
+    """Host-side PathRecording → (n_in, budget+1, 3) per-ray paths (see
+    ``_unscramble_path``).  Must be called OUTSIDE jit (numpy)."""
+    return _unscramble_path(
+        rec.raw, rec.windows_used, rec.start_sorted, budget,
+        None if rec.inv is None else np.asarray(rec.inv), n_in,
+    )
 
 
 def _corner_lines(lin_s: jax.Array) -> jax.Array:
@@ -176,6 +203,7 @@ def _march_kernel_lines(
     ablate: str = "",
     anchor2x: bool = False,
     record_path: bool = False,
+    dual: bool = False,
 ):
     if record_path:
         (opx_ref, opy_ref, opz_ref, odx_ref, ody_ref, odz_ref,
@@ -226,41 +254,132 @@ def _march_kernel_lines(
         cbz = jnp.clip(fpz.astype(jnp.int32) // LBZ, 0, nbz - 1)
         ids = (cbx * nby + cby) * nbz + cbz
         ids = jnp.where(alive != 0, ids, DEAD_ID)
-        cur_min = jnp.min(ids, axis=1, keepdims=True)  # (8, 1)
-        changed_v = (cur_min != prev_ids) & (cur_min != DEAD_ID)
+        if dual:
+            # ---- dual-brick residency (round 5): each sublane keeps TWO
+            # resident bricks.  A sorted bundle's 128-lane sublane typically
+            # straddles 2 bricks at any time (the sort groups rays by START
+            # brick; they cross boundaries at different steps), and the
+            # single-min scheduler idles the off-brick lanes through whole
+            # windows — measured window-step efficiency 0.43 vs 0.85 for
+            # brick-aligned rays (benchmarks/probe_r5_eff.py).  The two
+            # gathers' outputs are merged per LANE once per window (the
+            # anchor brick of a lane is window-constant), so the step body
+            # is untouched.  Slot contents are tracked in the carry
+            # (cont0, cont1); evictions avoid the slot the other needed
+            # brick occupies.
+            cont0 = prev_ids[:, 0:1]
+            cont1 = prev_ids[:, 1:2]
+            need_a = jnp.min(ids, axis=1, keepdims=True)  # (RS, 1)
+            ids_b = jnp.where(ids == need_a, DEAD_ID, ids)
+            need_b = jnp.min(ids_b, axis=1, keepdims=True)
+            vA = need_a != DEAD_ID
+            vB = need_b != DEAD_ID
+            hitA = (need_a == cont0) | (need_a == cont1)
+            hitB = (need_b == cont0) | (need_b == cont1)
+            destA = jnp.where(hitB & (cont0 == need_b), 1, 0)
+            slotA = jnp.where(
+                hitA, jnp.where(cont0 == need_a, 0, 1), destA
+            )
+            placeA = (~hitA) & vA
+            destB = 1 - slotA
+            placeB = (~hitB) & vB
 
-        # overlapped conditional brick DMAs — no rolled copies in the line
-        # layout: the gather matmul reads brick_ref directly
-        @pl.when(jnp.any(changed_v))
-        def _():
-            curs = [cur_min[s, 0] for s in range(RS)]
-            prevs = [prev_ids[s, 0] for s in range(RS)]
-            for s in range(RS):
-                @pl.when((curs[s] != prevs[s]) & (curs[s] != DEAD_ID))
-                def _(s=s):
-                    pltpu.make_async_copy(
-                        table_ref.at[pl.ds(curs[s], 1)],
-                        brick_ref.at[pl.ds(s, 1)],
-                        dma_sem.at[s],
-                    ).start()
-            for s in range(RS):
-                @pl.when((curs[s] != prevs[s]) & (curs[s] != DEAD_ID))
-                def _(s=s):
-                    pltpu.make_async_copy(
-                        table_ref.at[pl.ds(curs[s], 1)],
-                        brick_ref.at[pl.ds(s, 1)],
-                        dma_sem.at[s],
-                    ).wait()
-        new_ids = jnp.where(cur_min != DEAD_ID, cur_min, prev_ids)
+            # which physical slot j receives the A / B brick — static slot
+            # indices (Mosaic-friendly), int32 flags (bool scalars cannot be
+            # extracted from vectors)
+            recvA = [
+                (placeA & (destA == j)).astype(jnp.int32) for j in (0, 1)
+            ]
+            recvB = [
+                (placeB & (destB == j)).astype(jnp.int32) for j in (0, 1)
+            ]
 
-        cur_col = jnp.broadcast_to(cur_min, (RS, RL))
-        in_cur = (alive != 0) & (ids == cur_col)
+            @pl.when(jnp.any(placeA | placeB))
+            def _():
+                for s in range(RS):
+                    for j in range(2):
+                        @pl.when(recvA[j][s, 0] != 0)
+                        def _(s=s, j=j):
+                            pltpu.make_async_copy(
+                                table_ref.at[pl.ds(need_a[s, 0], 1)],
+                                brick_ref.at[pl.ds(2 * s + j, 1)],
+                                dma_sem.at[2 * s + j],
+                            ).start()
+                        @pl.when(recvB[j][s, 0] != 0)
+                        def _(s=s, j=j):
+                            pltpu.make_async_copy(
+                                table_ref.at[pl.ds(need_b[s, 0], 1)],
+                                brick_ref.at[pl.ds(2 * s + j, 1)],
+                                dma_sem.at[2 * s + j],
+                            ).start()
+                for s in range(RS):
+                    for j in range(2):
+                        @pl.when(recvA[j][s, 0] != 0)
+                        def _(s=s, j=j):
+                            pltpu.make_async_copy(
+                                table_ref.at[pl.ds(need_a[s, 0], 1)],
+                                brick_ref.at[pl.ds(2 * s + j, 1)],
+                                dma_sem.at[2 * s + j],
+                            ).wait()
+                        @pl.when(recvB[j][s, 0] != 0)
+                        def _(s=s, j=j):
+                            pltpu.make_async_copy(
+                                table_ref.at[pl.ds(need_b[s, 0], 1)],
+                                brick_ref.at[pl.ds(2 * s + j, 1)],
+                                dma_sem.at[2 * s + j],
+                            ).wait()
 
-        # local cell coords inside each sublane's brick
-        b2 = cur_col // nbz
+            ncont0 = jnp.where(placeA & (destA == 0), need_a, cont0)
+            ncont0 = jnp.where(placeB & (destB == 0), need_b, ncont0)
+            ncont1 = jnp.where(placeA & (destA == 1), need_a, cont1)
+            ncont1 = jnp.where(placeB & (destB == 1), need_b, ncont1)
+            new_ids = jnp.concatenate([ncont0, ncont1], axis=1)  # (RS, 2)
+            in_s1 = (alive != 0) & (
+                ids == jnp.broadcast_to(ncont1, (RS, RL))
+            )
+            in_cur = in_s1 | (
+                (alive != 0) & (ids == jnp.broadcast_to(ncont0, (RS, RL)))
+            )
+            org = ids  # per-lane brick: each lane anchors in its OWN brick
+        else:
+            cur_min = jnp.min(ids, axis=1, keepdims=True)  # (8, 1)
+            changed_v = (cur_min != prev_ids) & (cur_min != DEAD_ID)
+
+            # overlapped conditional brick DMAs — no rolled copies in the
+            # line layout: the gather matmul reads brick_ref directly
+            @pl.when(jnp.any(changed_v))
+            def _():
+                curs = [cur_min[s, 0] for s in range(RS)]
+                prevs = [prev_ids[s, 0] for s in range(RS)]
+                for s in range(RS):
+                    @pl.when((curs[s] != prevs[s]) & (curs[s] != DEAD_ID))
+                    def _(s=s):
+                        pltpu.make_async_copy(
+                            table_ref.at[pl.ds(curs[s], 1)],
+                            brick_ref.at[pl.ds(s, 1)],
+                            dma_sem.at[s],
+                        ).start()
+                for s in range(RS):
+                    @pl.when((curs[s] != prevs[s]) & (curs[s] != DEAD_ID))
+                    def _(s=s):
+                        pltpu.make_async_copy(
+                            table_ref.at[pl.ds(curs[s], 1)],
+                            brick_ref.at[pl.ds(s, 1)],
+                            dma_sem.at[s],
+                        ).wait()
+            new_ids = jnp.where(cur_min != DEAD_ID, cur_min, prev_ids)
+
+            cur_col = jnp.broadcast_to(cur_min, (RS, RL))
+            in_cur = (alive != 0) & (ids == cur_col)
+            org = cur_col
+
+        # local cell coords inside each lane's brick (single-residency: the
+        # sublane's min brick; dual: the lane's own brick — values for
+        # non-evaluable lanes are arithmetic don't-cares)
+        b2 = org // nbz
         oxf = ((b2 // nby) * LBX).astype(jnp.float32)
         oyf = ((b2 % nby) * LBY).astype(jnp.float32)
-        ozf = ((cur_col % nbz) * LBZ).astype(jnp.float32)
+        ozf = ((org % nbz) * LBZ).astype(jnp.float32)
         lx = jnp.clip((fpx - oxf).astype(jnp.int32), 0, LBX - 1)
         ly = jnp.clip((fpy - oyf).astype(jnp.int32), 0, LBY - 1)
         lz = jnp.clip((fpz - ozf).astype(jnp.int32), 0, LBZ - 1)
@@ -312,36 +431,88 @@ def _march_kernel_lines(
                 onehot = (iota == lines_fn(lin[s : s + 1, :])).astype(
                     jnp.float32
                 )
-                d = jax.lax.dot_general(
-                    brick_ref[s],
-                    onehot,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )  # (LS, nblk·RL)
-                if "dots2" in ablate:  # in-situ marginal-cost probe: the
-                    # same dot twice, averaged — semantics unchanged
-                    d = 0.5 * (d + jax.lax.dot_general(
+                if dual:
+                    # one one-hot per sublane, TWO gathers (one per resident
+                    # brick); merged per lane below — each lane's line id is
+                    # relative to its OWN brick, so the gather row is valid
+                    # exactly for the slot holding that brick
+                    d = tuple(
+                        jax.lax.dot_general(
+                            brick_ref[2 * s + j],
+                            onehot,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=precision,
+                        )
+                        for j in (0, 1)
+                    )
+                else:
+                    d = jax.lax.dot_general(
                         brick_ref[s],
                         onehot,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=precision,
-                    ))
+                    )  # (LS, nblk·RL)
+                    if "dots2" in ablate:  # in-situ marginal-cost probe: the
+                        # same dot twice, averaged — semantics unchanged
+                        d = 0.5 * (d + jax.lax.dot_general(
+                            brick_ref[s],
+                            onehot,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=precision,
+                        ))
                 parts.append(d)
-            G = jnp.stack(parts, axis=1)  # (LS, RS, nblk·RL)
             lz4 = jnp.concatenate([lz] * nblk, axis=1)  # (RS, nblk·RL)
-            acc0, acc1 = _zselect(G, lz4)
-            if "zsel2" in ablate:  # in-situ marginal-cost probe
-                b0, b1 = _zselect(G, lz4)
-                acc0 = 0.5 * (acc0 + b0)
-                acc1 = 0.5 * (acc1 + b1)
-            if anchor2x:
-                chv_lo, chv_hi, absorb_lo, absorb_hi = _corner_channels2x(
-                    acc0, acc1
-                )
+            if dual:
+                # merge the two bricks' windows at the CORNER-ROW level (66
+                # small (RS, RL) selects) instead of materializing a merged
+                # (LS, RS, nblk·RL) G — keeps the peak live set small so the
+                # step loop's corner rows stay resident (a G-level merge
+                # measured 2x the per-window cost: spill/remat)
+                Ga = jnp.stack([p[0] for p in parts], axis=1)
+                Gb = jnp.stack([p[1] for p in parts], axis=1)
+                acc0a, acc1a = _zselect(Ga, lz4)
+                acc0b, acc1b = _zselect(Gb, lz4)
+
+                def merge(a, b):
+                    return jnp.where(in_s1, b, a)
+
+                if anchor2x:
+                    lo_a, hi_a, abl_a, abh_a = _corner_channels2x(acc0a, acc1a)
+                    lo_b, hi_b, abl_b, abh_b = _corner_channels2x(acc0b, acc1b)
+                    chv_lo = [
+                        [merge(lo_a[o][c], lo_b[o][c]) for c in range(4)]
+                        for o in range(8)
+                    ]
+                    chv_hi = [
+                        [merge(hi_a[o][c], hi_b[o][c]) for c in range(4)]
+                        for o in range(8)
+                    ]
+                    absorb_lo = merge(abl_a, abl_b)
+                    absorb_hi = merge(abh_a, abh_b)
+                else:
+                    chv_a, ab_a = _corner_channels(acc0a, acc1a)
+                    chv_b, ab_b = _corner_channels(acc0b, acc1b)
+                    chv = [
+                        [merge(chv_a[o][c], chv_b[o][c]) for c in range(4)]
+                        for o in range(8)
+                    ]
+                    absorb_row = merge(ab_a, ab_b)
             else:
-                chv, absorb_row = _corner_channels(acc0, acc1)
+                G = jnp.stack(parts, axis=1)  # (LS, RS, nblk·RL)
+                acc0, acc1 = _zselect(G, lz4)
+                if "zsel2" in ablate:  # in-situ marginal-cost probe
+                    b0, b1 = _zselect(G, lz4)
+                    acc0 = 0.5 * (acc0 + b0)
+                    acc1 = 0.5 * (acc1 + b1)
+                if anchor2x:
+                    chv_lo, chv_hi, absorb_lo, absorb_hi = _corner_channels2x(
+                        acc0, acc1
+                    )
+                else:
+                    chv, absorb_row = _corner_channels(acc0, acc1)
 
         basex, basey, basez = basex_a, fpy, fpz
         evaluable_w = in_cur & (alive != 0)
@@ -426,6 +597,31 @@ def _march_kernel_lines(
         # chunked step loop with early exit (see march_pallas)
         step_chunk = 8 if k_steps % 8 == 0 else k_steps
         n_chunks = k_steps // step_chunk
+        # The chunk body is python-unrolled by default (measured +5-7% over
+        # a Mosaic fori_loop: the compiler software-pipelines consecutive
+        # step bodies; "nounroll" restores the hardware loop for A/B).
+        # "noearly": drop the chunk-level early-exit while_loop (trade
+        # wasted predicated steps for zero scalar-sync per chunk) —
+        # measured neutral, kept as a probe.
+        unroll = ("nounroll" not in ablate) and not record_path
+
+        def run_chunk(s):
+            if unroll:
+                for k in range(step_chunk):
+                    s = step_body(k, s)
+                return s
+            return jax.lax.fori_loop(0, step_chunk, step_body, s)
+
+        if "noearly" in ablate and not record_path:
+
+            def ne_body(j, s):
+                return run_chunk(s)
+
+            state = jax.lax.fori_loop(
+                0, n_chunks, ne_body,
+                (px, py, pz, dx, dy, dz, rem, alive, br),
+            )
+            return w + 1, new_ids, state
 
         def ch_cond(c):
             j, cont, _ = c
@@ -450,7 +646,7 @@ def _march_kernel_lines(
 
                 s = jax.lax.fori_loop(0, step_chunk, body, s)
             else:
-                s = jax.lax.fori_loop(0, step_chunk, step_body, s)
+                s = run_chunk(s)
             fx2 = s[0] - basex
             fy2 = s[1] - basey
             fz2 = s[2] - basez
@@ -486,7 +682,13 @@ def _march_kernel_lines(
         return w + 1, new_ids, state
 
     w, _, state = jax.lax.while_loop(
-        cond, window_body, (jnp.int32(0), jnp.full((RS, 1), -1, jnp.int32), state0)
+        cond,
+        window_body,
+        (
+            jnp.int32(0),
+            jnp.full((RS, 2 if dual else 1), -1, jnp.int32),
+            state0,
+        ),
     )
     px, py, pz, dx, dy, dz, rem, alive, br = state
 
@@ -507,14 +709,14 @@ def _march_kernel_lines(
     static_argnames=(
         "budget", "k_steps", "max_windows", "interpret",
         "bounds", "nb", "bend", "step", "min_bright", "has_absorb",
-        "n_tiles", "precision", "ablate", "anchor2x", "record_path",
+        "n_tiles", "precision", "ablate", "anchor2x", "record_path", "dual",
     ),
 )
 def _march_call_lines(
     table, px, py, pz, dx, dy, dz, rem, alive, br,
     *, budget, k_steps, max_windows, interpret, bounds, nb, bend, step,
     min_bright, has_absorb, n_tiles, precision, ablate="", anchor2x=False,
-    record_path=False,
+    record_path=False, dual=False,
 ):
     kernel = functools.partial(
         _march_kernel_lines,
@@ -530,6 +732,7 @@ def _march_call_lines(
         ablate=ablate,
         anchor2x=anchor2x,
         record_path=record_path,
+        dual=dual,
     )
     n = n_tiles * R
     state_spec = pl.BlockSpec((RS, RL), lambda t: (t, 0))
@@ -538,9 +741,10 @@ def _march_call_lines(
     i32s = jax.ShapeDtypeStruct((n // RL, RL), jnp.int32)
     out_specs = [state_spec] * 10
     out_shape = [f32s] * 6 + [i32s, i32s, f32s, i32s]
+    nslots = 2 if dual else 1
     scratch = [
-        pltpu.VMEM((RS, LS, LL), jnp.float32),
-        pltpu.SemaphoreType.DMA((RS,)),
+        pltpu.VMEM((nslots * RS, LS, LL), jnp.float32),
+        pltpu.SemaphoreType.DMA((nslots * RS,)),
     ]
     if record_path:
         # per-window position snapshots, unscrambled to per-ray paths by
@@ -567,6 +771,9 @@ def _march_call_lines(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
+        # NOTE: do NOT raise vmem_limit_bytes here — measured 3x SLOWER
+        # across the board at 64 MiB (probe_r5_dual round 2); the default
+        # scoped budget's pressure produces the better schedule
         interpret=interpret,
     )
     return call(table, px, py, pz, dx, dy, dz, rem, alive, br)
@@ -607,6 +814,8 @@ def march_lines(
     init_state: Optional[dict] = None,
     anchor2x: bool = True,
     record_path: bool = False,
+    dual: Optional[bool] = None,
+    unscramble: bool = True,
     _ablate: str = "",
 ) -> TraceResult:
     """Forward float march using the line-walking kernel.
@@ -637,6 +846,15 @@ def march_lines(
     then the previous call's end state.
     """
     assert packed.ndim == 4 and packed.shape[-1] == 4, "3D packed field required"
+    # the nogather/nozsel ablation branches bind only the 1-cell chv rows;
+    # running them with the 2x anchor would NameError at trace time (and
+    # with dual residency their brick_ref indexing is meaningless)
+    assert not (
+        (anchor2x or dual) and ("nogather" in _ablate or "nozsel" in _ablate)
+    ), "ablate='nogather'/'nozsel' requires anchor2x=False, dual=False"
+    if dual is None:
+        dual = DUAL_FWD_DEFAULT
+    assert not (dual and "dots2" in _ablate), "ablate='dots2' requires dual=False"
     n_in, dim = start_position.shape
     assert dim == 3
     bounds = tuple(int(s) for s in packed.shape[:-1])
@@ -697,7 +915,7 @@ def march_lines(
         min_bright=float(minimum_brightness) / BRIGHT_MAX_F,
         has_absorb=has_absorb,
         n_tiles=n // R, precision=precision, ablate=_ablate,
-        anchor2x=anchor2x, record_path=record_path,
+        anchor2x=anchor2x, record_path=record_path, dual=dual,
     )
     raw_path = outs[10] if record_path else None
     windows_used = outs[9][:: R // RL, 0]
@@ -720,10 +938,15 @@ def march_lines(
     )
     path = None
     if record_path:
-        path = _unscramble_path(
-            raw_path, windows_used, pos, budget,
-            None if inv is None else np.asarray(inv), n_in,
-        )
+        if unscramble:
+            path = _unscramble_path(
+                raw_path, windows_used, pos, budget,
+                None if inv is None else np.asarray(inv), n_in,
+            )
+        else:
+            # raw device-array form — jit/custom_vjp-safe; the caller
+            # unscrambles on the host (``unscramble_path``)
+            path = PathRecording(raw_path, pos, inv, windows_used)
     result = TraceResult(
         end_position=end_pos,
         end_direction=end_dir,
@@ -802,18 +1025,21 @@ def _bwd_kernel_lines(
     precision,
     ablate: str = "",
     anchor2x: bool = False,
+    dual: bool = False,
 ):
     ex, ey, ez = (jnp.float32(b) for b in bend)
     sx, sy, sz = (jnp.float32(s) for s in step)
     nbx, nby, nbz = (jnp.int32(v) for v in nb)
     nblk = 6 if anchor2x else 4
+    nslots = 2 if dual else 1
     iota = jax.lax.broadcasted_iota(jnp.int32, (LL, nblk * RL), 0)
 
-    gbrick_ref[:] = jnp.zeros((RS, GLS, LL), jnp.float32)
+    gbrick_ref[:] = jnp.zeros((nslots * RS, GLS, LL), jnp.float32)
 
     def _flush(s, brick_id):
-        """Serialized RMW-accumulate of sublane s's line-row grads into HBM —
-        no corner roll-fold needed: the rows already address brick points."""
+        """Serialized RMW-accumulate of slot s's line-row grads into HBM —
+        no corner roll-fold needed: the rows already address brick points.
+        ``s`` indexes the flat (nslots·RS) accumulator array."""
         rd = pltpu.make_async_copy(
             gout_ref.at[pl.ds(brick_id, 1)], tmp_ref, g_sem
         )
@@ -857,46 +1083,127 @@ def _bwd_kernel_lines(
         cbz = jnp.clip(fpz.astype(jnp.int32) // LBZ, 0, nbz - 1)
         ids = (cbx * nby + cby) * nbz + cbz
         ids = jnp.where(live, ids, DEAD_ID)
-        cur_min = jnp.min(ids, axis=1, keepdims=True)
-        changed_v = cur_min != prev_ids
+        if dual:
+            # dual-brick residency (see the forward kernel's scheduler):
+            # per-sublane grad accumulators are per SLOT; an eviction
+            # flushes the outgoing slot's accumulator before the new
+            # brick's DMA lands in it
+            cont0 = prev_ids[:, 0:1]
+            cont1 = prev_ids[:, 1:2]
+            need_a = jnp.min(ids, axis=1, keepdims=True)
+            ids_b = jnp.where(ids == need_a, DEAD_ID, ids)
+            need_b = jnp.min(ids_b, axis=1, keepdims=True)
+            vA = need_a != DEAD_ID
+            vB = need_b != DEAD_ID
+            hitA = (need_a == cont0) | (need_a == cont1)
+            hitB = (need_b == cont0) | (need_b == cont1)
+            destA = jnp.where(hitB & (cont0 == need_b), 1, 0)
+            slotA = jnp.where(hitA, jnp.where(cont0 == need_a, 0, 1), destA)
+            placeA = (~hitA) & vA
+            destB = 1 - slotA
+            placeB = (~hitB) & vB
+            recvA = [
+                (placeA & (destA == j)).astype(jnp.int32) for j in (0, 1)
+            ]
+            recvB = [
+                (placeB & (destB == j)).astype(jnp.int32) for j in (0, 1)
+            ]
 
-        @pl.when(jnp.any(changed_v))
-        def _():
-            curs = [cur_min[s, 0] for s in range(RS)]
-            prevs = [prev_ids[s, 0] for s in range(RS)]
-            for s in range(RS):
-                @pl.when(
-                    (curs[s] != prevs[s])
-                    & (prevs[s] >= 0)
-                    & (prevs[s] != DEAD_ID)
-                )
-                def _(s=s):
-                    _flush(s, prevs[s])
-            for s in range(RS):
-                @pl.when((curs[s] != prevs[s]) & (curs[s] != DEAD_ID))
-                def _(s=s):
-                    pltpu.make_async_copy(
-                        table_ref.at[pl.ds(curs[s], 1)],
-                        brick_ref.at[pl.ds(s, 1)],
-                        dma_sem.at[s],
-                    ).start()
-            for s in range(RS):
-                @pl.when((curs[s] != prevs[s]) & (curs[s] != DEAD_ID))
-                def _(s=s):
-                    pltpu.make_async_copy(
-                        table_ref.at[pl.ds(curs[s], 1)],
-                        brick_ref.at[pl.ds(s, 1)],
-                        dma_sem.at[s],
-                    ).wait()
-        new_ids = cur_min  # DEAD adopted — its flush already ran
+            @pl.when(jnp.any(placeA | placeB))
+            def _():
+                # flush evicted slots first (serialized RMW)
+                for s in range(RS):
+                    for j in range(2):
+                        @pl.when(
+                            ((recvA[j][s, 0] != 0) | (recvB[j][s, 0] != 0))
+                            & (prev_ids[s, j] >= 0)
+                        )
+                        def _(s=s, j=j):
+                            _flush(2 * s + j, prev_ids[s, j])
+                for s in range(RS):
+                    for j in range(2):
+                        @pl.when(recvA[j][s, 0] != 0)
+                        def _(s=s, j=j):
+                            pltpu.make_async_copy(
+                                table_ref.at[pl.ds(need_a[s, 0], 1)],
+                                brick_ref.at[pl.ds(2 * s + j, 1)],
+                                dma_sem.at[2 * s + j],
+                            ).start()
+                        @pl.when(recvB[j][s, 0] != 0)
+                        def _(s=s, j=j):
+                            pltpu.make_async_copy(
+                                table_ref.at[pl.ds(need_b[s, 0], 1)],
+                                brick_ref.at[pl.ds(2 * s + j, 1)],
+                                dma_sem.at[2 * s + j],
+                            ).start()
+                for s in range(RS):
+                    for j in range(2):
+                        @pl.when(recvA[j][s, 0] != 0)
+                        def _(s=s, j=j):
+                            pltpu.make_async_copy(
+                                table_ref.at[pl.ds(need_a[s, 0], 1)],
+                                brick_ref.at[pl.ds(2 * s + j, 1)],
+                                dma_sem.at[2 * s + j],
+                            ).wait()
+                        @pl.when(recvB[j][s, 0] != 0)
+                        def _(s=s, j=j):
+                            pltpu.make_async_copy(
+                                table_ref.at[pl.ds(need_b[s, 0], 1)],
+                                brick_ref.at[pl.ds(2 * s + j, 1)],
+                                dma_sem.at[2 * s + j],
+                            ).wait()
 
-        cur_col = jnp.broadcast_to(cur_min, (RS, RL))
-        in_cur = live & (ids == cur_col)
+            ncont0 = jnp.where(placeA & (destA == 0), need_a, cont0)
+            ncont0 = jnp.where(placeB & (destB == 0), need_b, ncont0)
+            ncont1 = jnp.where(placeA & (destA == 1), need_a, cont1)
+            ncont1 = jnp.where(placeB & (destB == 1), need_b, ncont1)
+            new_ids = jnp.concatenate([ncont0, ncont1], axis=1)
+            in_s0 = live & (ids == jnp.broadcast_to(ncont0, (RS, RL)))
+            in_s1 = live & (ids == jnp.broadcast_to(ncont1, (RS, RL)))
+            in_cur = in_s0 | in_s1
+            org = ids
+        else:
+            cur_min = jnp.min(ids, axis=1, keepdims=True)
+            changed_v = cur_min != prev_ids
 
-        b2 = cur_col // nbz
+            @pl.when(jnp.any(changed_v))
+            def _():
+                curs = [cur_min[s, 0] for s in range(RS)]
+                prevs = [prev_ids[s, 0] for s in range(RS)]
+                for s in range(RS):
+                    @pl.when(
+                        (curs[s] != prevs[s])
+                        & (prevs[s] >= 0)
+                        & (prevs[s] != DEAD_ID)
+                    )
+                    def _(s=s):
+                        _flush(s, prevs[s])
+                for s in range(RS):
+                    @pl.when((curs[s] != prevs[s]) & (curs[s] != DEAD_ID))
+                    def _(s=s):
+                        pltpu.make_async_copy(
+                            table_ref.at[pl.ds(curs[s], 1)],
+                            brick_ref.at[pl.ds(s, 1)],
+                            dma_sem.at[s],
+                        ).start()
+                for s in range(RS):
+                    @pl.when((curs[s] != prevs[s]) & (curs[s] != DEAD_ID))
+                    def _(s=s):
+                        pltpu.make_async_copy(
+                            table_ref.at[pl.ds(curs[s], 1)],
+                            brick_ref.at[pl.ds(s, 1)],
+                            dma_sem.at[s],
+                        ).wait()
+            new_ids = cur_min  # DEAD adopted — its flush already ran
+
+            cur_col = jnp.broadcast_to(cur_min, (RS, RL))
+            in_cur = live & (ids == cur_col)
+            org = cur_col
+
+        b2 = org // nbz
         oxf = ((b2 // nby) * LBX).astype(jnp.float32)
         oyf = ((b2 % nby) * LBY).astype(jnp.float32)
-        ozf = ((cur_col % nbz) * LBZ).astype(jnp.float32)
+        ozf = ((org % nbz) * LBZ).astype(jnp.float32)
         lx = jnp.clip((fpx - oxf).astype(jnp.int32), 0, LBX - 1)
         ly = jnp.clip((fpy - oyf).astype(jnp.int32), 0, LBY - 1)
         lz = jnp.clip((fpz - ozf).astype(jnp.int32), 0, LBZ - 1)
@@ -920,25 +1227,67 @@ def _bwd_kernel_lines(
             onehot = (iota == lines_fn(lin[s : s + 1, :])).astype(
                 jnp.float32
             )
-            parts.append(
-                jax.lax.dot_general(
-                    brick_ref[s],
-                    onehot,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
+            if dual:
+                parts.append(tuple(
+                    jax.lax.dot_general(
+                        brick_ref[2 * s + j],
+                        onehot,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )
+                    for j in (0, 1)
+                ))
+            else:
+                parts.append(
+                    jax.lax.dot_general(
+                        brick_ref[s],
+                        onehot,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )
                 )
-            )
-        G = jnp.stack(parts, axis=1)  # (LS, RS, nblk·RL)
         lz4 = jnp.concatenate([lz] * nblk, axis=1)
-        acc0, acc1 = _zselect(G, lz4)
-        if anchor2x:
-            chv_lo_f, chv_hi_f, _, _ = _corner_channels2x(acc0, acc1)
-            chv_lo = [rows[:NLO] for rows in chv_lo_f]
-            chv_hi = [rows[:NLO] for rows in chv_hi_f]
+        if dual:
+            # corner-row-level merge (see the forward kernel: a G-level
+            # merge materializes an extra (LS, RS, nblk·RL) and spills)
+            Ga = jnp.stack([p[0] for p in parts], axis=1)
+            Gb = jnp.stack([p[1] for p in parts], axis=1)
+            acc0a, acc1a = _zselect(Ga, lz4)
+            acc0b, acc1b = _zselect(Gb, lz4)
+
+            def bmerge(a, b):
+                return jnp.where(in_s1, b, a)
+
+            if anchor2x:
+                lo_a, hi_a, _, _ = _corner_channels2x(acc0a, acc1a)
+                lo_b, hi_b, _, _ = _corner_channels2x(acc0b, acc1b)
+                chv_lo = [
+                    [bmerge(lo_a[o][c], lo_b[o][c]) for c in range(NLO)]
+                    for o in range(8)
+                ]
+                chv_hi = [
+                    [bmerge(hi_a[o][c], hi_b[o][c]) for c in range(NLO)]
+                    for o in range(8)
+                ]
+            else:
+                ca, _ = _corner_channels(acc0a, acc1a)
+                cb, _ = _corner_channels(acc0b, acc1b)
+                chv = [
+                    [bmerge(ca[o][c], cb[o][c]) for c in range(NLO)]
+                    for o in range(8)
+                ]
         else:
-            chv_full, _ = _corner_channels(acc0, acc1)
-            chv = [rows[:NLO] for rows in chv_full]  # the 3 grad rows
+            G = jnp.stack(parts, axis=1)  # (LS, RS, nblk·RL)
+            acc0, acc1 = _zselect(G, lz4)
+            if anchor2x:
+                chv_lo_f, chv_hi_f, _, _ = _corner_channels2x(acc0, acc1)
+                chv_lo = [rows[:NLO] for rows in chv_lo_f]
+                chv_hi = [rows[:NLO] for rows in chv_hi_f]
+            else:
+                chv_full, _ = _corner_channels(acc0, acc1)
+                chv = [rows[:NLO] for rows in chv_full]  # the 3 grad rows
 
         basex, basey, basez = basex_a, fpy, fpz
         evaluable_w = in_cur
@@ -1159,12 +1508,39 @@ def _bwd_kernel_lines(
             prev = m
         dG = jnp.concatenate(rows, axis=0)  # (GLS, RS, 4RL)
 
+        if dual:
+            in0f = in_s0.astype(jnp.float32)
+            in1f = in_s1.astype(jnp.float32)
         for s in range(RS):
             onehot = (iota == lines_fn(lin[s : s + 1, :])).astype(
                 jnp.float32
             )
             d = dG[:, s, :]  # (GLS, nblk·RL)
-            if "scat1" in ablate:
+            if dual:
+                # a lane's grads belong to ITS brick only: mask the grad
+                # rows per slot before the transpose-scatter (the one-hot is
+                # shared; without the mask both slots would receive every
+                # lane's contribution)
+                for j, mf in ((0, in0f), (1, in1f)):
+                    mj = jnp.concatenate([mf[s : s + 1]] * nblk, axis=1)
+                    dj = d * mj  # (GLS, nblk·RL)
+                    dhi = dj.astype(jnp.bfloat16).astype(jnp.float32)
+                    dlo = dj - dhi
+                    contrib = jax.lax.dot_general(
+                        dhi,
+                        onehot,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    ) + jax.lax.dot_general(
+                        dlo,
+                        onehot,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )  # (GLS, LL)
+                    gbrick_ref[2 * s + j] = gbrick_ref[2 * s + j] + contrib
+            elif "scat1" in ablate:
                 # single bf16 pass (2^-8-rounded window contributions) —
                 # accuracy/cost A/B probe, not the production path
                 contrib = jax.lax.dot_general(
@@ -1173,6 +1549,7 @@ def _bwd_kernel_lines(
                     preferred_element_type=jnp.float32,
                     precision=precision,
                 )
+                gbrick_ref[s] = gbrick_ref[s] + contrib
             else:
                 # runtime hi/lo split (see march_bwd: grad rows are
                 # arbitrary f32; DEFAULT precision alone rounds to 2^-8)
@@ -1191,18 +1568,32 @@ def _bwd_kernel_lines(
                     preferred_element_type=jnp.float32,
                     precision=precision,
                 )  # (GLS, LL)
-            gbrick_ref[s] = gbrick_ref[s] + contrib
+                gbrick_ref[s] = gbrick_ref[s] + contrib
 
         return w + 1, new_ids, tuple(state)
 
     w, last_ids, state = jax.lax.while_loop(
-        cond, window_body, (jnp.int32(0), jnp.full((RS, 1), -1, jnp.int32), state0)
+        cond,
+        window_body,
+        (
+            jnp.int32(0),
+            jnp.full((RS, 2 if dual else 1), -1, jnp.int32),
+            state0,
+        ),
     )
-    for s in range(RS):
-        last_s = last_ids[s, 0]
-        @pl.when((last_s >= 0) & (last_s != DEAD_ID))
-        def _(s=s, last_s=last_s):
-            _flush(s, last_s)
+    if dual:
+        for s in range(RS):
+            for j in range(2):
+                last_sj = last_ids[s, j]
+                @pl.when((last_sj >= 0) & (last_sj != DEAD_ID))
+                def _(s=s, j=j, last_sj=last_sj):
+                    _flush(2 * s + j, last_sj)
+    else:
+        for s in range(RS):
+            last_s = last_ids[s, 0]
+            @pl.when((last_s >= 0) & (last_s != DEAD_ID))
+            def _(s=s, last_s=last_s):
+                _flush(s, last_s)
 
     (px, py, pz, vx, vy, vz, ax, ay, az, bx, by, bz, rrem) = state
     oax_ref[:] = ax
@@ -1214,20 +1605,23 @@ def _bwd_kernel_lines(
     orx_ref[:] = px
     ory_ref[:] = py
     orz_ref[:] = pz
-    ow_ref[:] = jnp.full((RS, RL), 1, jnp.int32) * w
+    # sign-encoded truncation flag (see march_bwd._bwd_kernel): negative
+    # -(w+1) ⇒ the replay exited with residual reverse budget
+    resid = jnp.any(rrem > 0)
+    ow_ref[:] = jnp.full((RS, RL), 1, jnp.int32) * jnp.where(resid, -(w + 1), w)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "k_steps", "max_windows", "interpret", "nb", "bend", "step",
-        "n_tiles", "precision", "ablate", "anchor2x",
+        "n_tiles", "precision", "ablate", "anchor2x", "dual",
     ),
 )
 def _bwd_call_lines(
     table, gzeros, px, py, pz, vx, vy, vz, rrem, apx, apy, apz, avx, avy, avz,
     *, k_steps, max_windows, interpret, nb, bend, step, n_tiles, precision,
-    ablate="", anchor2x=False,
+    ablate="", anchor2x=False, dual=False,
 ):
     kernel = functools.partial(
         _bwd_kernel_lines,
@@ -1239,6 +1633,7 @@ def _bwd_call_lines(
         precision=precision,
         ablate=ablate,
         anchor2x=anchor2x,
+        dual=dual,
     )
     n = n_tiles * R
     rows = n // RL
@@ -1257,10 +1652,10 @@ def _bwd_call_lines(
             i32s,
         ],
         scratch_shapes=[
-            pltpu.VMEM((RS, LS, LL), jnp.float32),
-            pltpu.VMEM((RS, GLS, LL), jnp.float32),
+            pltpu.VMEM(((2 if dual else 1) * RS, LS, LL), jnp.float32),
+            pltpu.VMEM(((2 if dual else 1) * RS, GLS, LL), jnp.float32),
             pltpu.VMEM((1, GLS, LL), jnp.float32),
-            pltpu.SemaphoreType.DMA((RS,)),
+            pltpu.SemaphoreType.DMA(((2 if dual else 1) * RS,)),
             pltpu.SemaphoreType.DMA,
         ],
         input_output_aliases={1: 0},
@@ -1275,6 +1670,7 @@ def _bwd_impl_lines(
     table, nb, end_pos, end_dir, nexec, d_pos, d_dir,
     *, bend, step, k_steps, max_windows, interpret, budget,
     precision=jax.lax.Precision.DEFAULT, ablate="", anchor2x=False,
+    dual=None,
 ):
     """Run the line-layout adjoint kernel; mirrors ``march_bwd._bwd_impl``.
 
@@ -1285,6 +1681,8 @@ def _bwd_impl_lines(
     kernel defaults 2x (its lighter step body nets +16%); the two choices
     are independent (the adjoint replays the same trajectory regardless of
     either kernel's anchor shape)."""
+    if dual is None:
+        dual = DUAL_BWD_DEFAULT
     n_bricks = int(table.shape[0])
     n_in = end_pos.shape[0]
     n = -(-n_in // R) * R
@@ -1321,7 +1719,7 @@ def _bwd_impl_lines(
         av[:, 2].reshape(rows, RL),
         k_steps=k_steps, max_windows=int(max_windows), interpret=interpret,
         nb=nb, bend=bend, step=step, n_tiles=n // R, precision=precision,
-        ablate=ablate, anchor2x=anchor2x,
+        ablate=ablate, anchor2x=anchor2x, dual=dual,
     )
     gtable = outs[0]
     windows_used = outs[10][:: R // RL, 0]
@@ -1337,13 +1735,14 @@ def _bwd_impl_lines(
     static_argnames=(
         "budget", "k_steps", "phase_windows", "max_phases", "interpret",
         "bounds", "nb", "bend", "step", "min_bright", "has_absorb",
-        "n_tiles", "precision", "anchor2x",
+        "n_tiles", "precision", "anchor2x", "dual",
     ),
 )
 def _compact_loop(
     table, pos, dirs, rem, alive, br, perm,
     *, budget, k_steps, phase_windows, max_phases, interpret, bounds, nb,
     bend, step, min_bright, has_absorb, n_tiles, precision, anchor2x=True,
+    dual=True,
 ):
     """Jitted multi-phase march: kernel for ``phase_windows`` windows →
     re-sort survivors by their CURRENT brick → repeat.  The whole loop is
@@ -1364,7 +1763,7 @@ def _compact_loop(
             budget=budget, k_steps=k_steps, max_windows=phase_windows,
             interpret=interpret, bounds=bounds, nb=nb, bend=bend, step=step,
             min_bright=min_bright, has_absorb=has_absorb, n_tiles=n_tiles,
-            precision=precision, anchor2x=anchor2x,
+            precision=precision, anchor2x=anchor2x, dual=dual,
         )
         w = jnp.sum(outs[9][:: R // RL, 0])
         flat = [o.reshape(n) for o in outs[:9]]
@@ -1413,6 +1812,7 @@ def march_lines_compact(
     table: Optional[jax.Array] = None,
     nb: Optional[Tuple[int, int, int]] = None,
     anchor2x: bool = True,
+    dual: bool = True,
 ) -> TraceResult:
     """Two-phase(+) scattered-ray march: march → compact survivors →
     continue (SURVEY.md §7's divergence mitigation), the whole loop in ONE
@@ -1456,7 +1856,7 @@ def march_lines_compact(
         nb=nb, bend=bend, step=step,
         min_bright=float(minimum_brightness) / BRIGHT_MAX_F,
         has_absorb=has_absorb, n_tiles=n // R, precision=precision,
-        anchor2x=anchor2x,
+        anchor2x=anchor2x, dual=dual,
     )
     inv = jnp.argsort(perm)
     pos, dirs, rem, alive, br = (

@@ -56,8 +56,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..types import TraceResult
 
-# rays per grid program: one (sublane, lane) tile set
-RS, RL = 8, 128
+# rays per grid program: one (sublane, lane) tile set.  RS (sublane rows per
+# tile, each row scheduled against its own resident brick) is overridable for
+# experiments: the march step body is a latency-bound dependency chain of
+# small vector ops, and wider tiles amortize that chain over more rays
+# (benchmarks/probe_r5_rs.py).
+import os as _os
+
+RS = int(_os.environ.get("VRT_RS", "8"))
+RL = 128
 R = RS * RL
 # brick extent in cells
 BX, BY, BZ = 8, 8, 16

@@ -123,6 +123,7 @@ class RaytraceScene:
         chunk_steps: Optional[int] = None,
         kernel: str = "auto",
         dir_fixed: bool = False,
+        soft_opacity_tau: Optional[float] = None,
     ) -> TraceResult:
         """Trace a batch of rays (≙ RaytraceScene::trace_rays,
         image_util.cpp:645-772).
@@ -136,6 +137,14 @@ class RaytraceScene:
           /root/reference/src/types.h:44-50) — quantized at entry/exit with
           the reference's 1/256 tolerance contract.
         invscale: per-axis float scale (≙ RayTraceRayInstance::_invscale).
+        soft_opacity_tau: (mode="float" only) enable the soft-termination
+          relaxation — the result carries a differentiable ``transmittance``
+          through which the opacity/translucency field receives gradient
+          (the hard opaque break of the reference kernel,
+          cuda_volume_raytracer.cu:342-343, has zero gradient a.e.).  COST
+          WARNING: this routes the march over the XLA scan path — the Pallas
+          kernel pair treats termination straight-through — so large-batch
+          soft-termination training runs at the XLA march's throughput.
         """
         if invscale is None:
             invscale = np.ones(self.dim, np.float32)
@@ -180,6 +189,8 @@ class RaytraceScene:
             self._log.debug("start_position=%s", np.asarray(start_position))
             self._log.debug("start_direction=%s", np.asarray(start_direction))
 
+        if soft_opacity_tau is not None and mode != "float":
+            raise ValueError("soft_opacity_tau requires mode='float'")
         if mode == "fixed":
             start_position = np.asarray(start_position, np.uint32).reshape(-1, self.dim)
             self._validate_fixed(start_position)
@@ -216,6 +227,13 @@ class RaytraceScene:
                     pos, dirs, tuple(invscale.tolist()), iterations,
                     trace_path, normalize_length, differentiable,
                 )
+            if soft_opacity_tau is not None and kernel in ("auto", "pallas"):
+                if kernel == "pallas":
+                    self._log.warning(
+                        "kernel='pallas' does not carry the soft-termination "
+                        "transmittance; using the XLA march"
+                    )
+                kernel = "xla"
             kernel = self._select_kernel(
                 kernel, trace_path, int(pos.shape[0]), differentiable,
                 iterations,
@@ -236,6 +254,7 @@ class RaytraceScene:
                 normalize_length,
                 chunk_steps,
                 differentiable,
+                None if soft_opacity_tau is None else float(soft_opacity_tau),
             )
         raise ValueError(f"unknown mode {mode!r}")
 
@@ -259,10 +278,19 @@ class RaytraceScene:
         if self.dim != 3:
             unsupported.append("2D volumes")
         # path recording is in-kernel for the line layout's forward march
-        # (march_lines record_path); the differentiable custom_vjp pair and
-        # the point layout do not record paths
-        if trace_path and (differentiable or PALLAS_LAYOUT != "lines"):
+        # (march_lines record_path), including the differentiable
+        # custom_vjp pair (raw snapshots threaded through the vjp, host
+        # unscramble — march_bwd.march_pallas_diff); the point layout does
+        # not record paths
+        if trace_path and PALLAS_LAYOUT != "lines":
             unsupported.append("trace_path")
+        # the differentiable recorder must unscramble on the host: an
+        # eager call only (documented); jit'd calls use the XLA march
+        if trace_path and differentiable:
+            from ..kernels.march_bwd import _trace_is_eager
+
+            if not _trace_is_eager():
+                unsupported.append("trace_path-under-jit")
         # the in-kernel recorder stages a (max_windows, k_steps, 3, 8, 128)
         # snapshot per ray tile and march_lines hard-caps the HBM buffer at
         # 4 GiB; in auto mode estimate it (march_pallas defaults k_steps=16,
@@ -401,7 +429,7 @@ class RaytraceScene:
         )
 
     @functools.lru_cache(maxsize=None)
-    def _float_fn(self, invscale, iterations, minimum_brightness, trace_path, normalize_length, chunk_steps, differentiable):
+    def _float_fn(self, invscale, iterations, minimum_brightness, trace_path, normalize_length, chunk_steps, differentiable, soft_opacity_tau=None):
         dim = self.dim
         inv = np.asarray(invscale, np.float32)
         # float-path constants (see ops/march.py): working dir = raw float
@@ -433,6 +461,7 @@ class RaytraceScene:
                 record_path=trace_path,
                 differentiable=differentiable,
                 opaque_when_positive=True,
+                soft_opacity_tau=soft_opacity_tau,
             )
             return TraceResult(
                 end_position=res.end_position + 1.0,
@@ -440,12 +469,13 @@ class RaytraceScene:
                 end_iteration=res.end_iteration,
                 remaining_light=res.remaining_light,
                 path=None if res.path is None else res.path + 1.0,
+                transmittance=res.transmittance,
             )
 
         return jax.jit(fn)
 
-    def _trace_float(self, pos, dirs, invscale, iterations, minimum_brightness, trace_path, normalize_length, chunk_steps, differentiable):
-        fn = self._float_fn(invscale, iterations, minimum_brightness, trace_path, normalize_length, chunk_steps, differentiable)
+    def _trace_float(self, pos, dirs, invscale, iterations, minimum_brightness, trace_path, normalize_length, chunk_steps, differentiable, soft_opacity_tau=None):
+        fn = self._float_fn(invscale, iterations, minimum_brightness, trace_path, normalize_length, chunk_steps, differentiable, soft_opacity_tau)
         return fn(self.packed, self.translucency_cropped, self.ior, pos, dirs)
 
     def _trace_float_pallas(self, pos, dirs, invscale, iterations,
@@ -472,7 +502,10 @@ class RaytraceScene:
         else:
             from ..kernels.march_pallas import march_pallas as march_fn
         kw = {}
-        if trace_path and not differentiable:
+        if trace_path:
+            # in-kernel recording; for the differentiable pair the raw
+            # snapshots thread through the custom_vjp and unscramble on
+            # the host (march_bwd.march_pallas_diff record_path)
             kw["record_path"] = True
         res = march_fn(
             self.packed,

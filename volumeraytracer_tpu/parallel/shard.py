@@ -22,6 +22,7 @@ validates the multi-chip path on a virtual CPU mesh).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -190,6 +191,9 @@ PALLAS_LAYOUT = "lines"
 def endpoint_render(
     ior, positions, directions, budget: int, invscale: float, chunk_steps: int,
     kernel: str = "auto", layout: Optional[str] = None,
+    soft_opacity_tau: Optional[float] = None,
+    translucency=None,
+    return_transmittance: bool = False,
 ):
     """Differentiable forward: preprocess the field, |v|=n-init the rays,
     march, return per-ray endpoints (the reference's output contract —
@@ -202,16 +206,31 @@ def endpoint_render(
     kernel pair on TPU for 3-D batches (≙ the reference scheduler's
     ray-count auto-dispatch, cuda_volume_raytracer.cu:804-810) and XLA
     everywhere else."""
-    packed = build_packed_field(ior)
+    from ..ops.fields import cropped_translucency
+
+    packed = build_packed_field(ior, translucency)
+    trc = None if translucency is None else cropped_translucency(translucency)
     dim = positions.shape[-1]
     inv = jnp.full((dim,), invscale, jnp.float32)
     pos = positions - 0.5
     n0 = interp_linear(ior, pos)
     dirs = directions * n0[..., None]
     pos = pos - 0.5
+    soft = soft_opacity_tau is not None and soft_opacity_tau > 0.0
     if kernel == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        kernel = "pallas" if (on_tpu and dim == 3) else "xla"
+        # soft termination carries a differentiable transmittance only on
+        # the XLA march (the kernel pair is straight-through; documented
+        # cost: XLA-march throughput for soft-termination training)
+        kernel = "pallas" if (on_tpu and dim == 3 and not soft) else "xla"
+    elif kernel == "pallas" and soft:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "endpoint_render: soft_opacity_tau requires the XLA march; "
+            "falling back from kernel='pallas'"
+        )
+        kernel = "xla"
     if kernel == "pallas":
         from ..kernels.march_bwd import march_pallas_diff
 
@@ -220,19 +239,21 @@ def endpoint_render(
             pos,
             dirs,
             budget,
+            translucency=trc,
             bend_scale=float(invscale) / float(FIX_ONE),
             step_scale=float(invscale) * (STEP_CONST / float(FIX_ONE) / float(FIX_ONE)),
             # fwd (2x anchor) measured fastest at k=64, the 1-cell adjoint
-            # at k=32 (benchmarks/probe_anchor2x_interleaved.py)
-            k_steps=64,
-            k_steps_bwd=32,
+            # at k=32 (benchmarks/probe_anchor2x_interleaved.py); env
+            # overrides are experiment knobs (bench A/Bs)
+            k_steps=int(os.environ.get("VRT_KFWD", "64")),
+            k_steps_bwd=int(os.environ.get("VRT_KBWD", "32")),
             interpret=jax.default_backend() not in ("tpu", "axon"),
             layout=layout or PALLAS_LAYOUT,
         )
     else:
         res = march_ops.march_float(
             packed,
-            None,
+            trc,
             pos,
             dirs,
             budget,
@@ -240,7 +261,10 @@ def endpoint_render(
             step_scale=inv * (STEP_CONST / float(FIX_ONE) / float(FIX_ONE)),
             chunk_steps=chunk_steps,
             differentiable=True,
+            soft_opacity_tau=soft_opacity_tau if soft else None,
         )
+    if return_transmittance:
+        return res.end_position + 1.0, res.end_direction, res.transmittance
     return res.end_position + 1.0, res.end_direction
 
 
