@@ -3,9 +3,15 @@
 2-D volumes run on the XLA march by design: a 2-D packed field fits VMEM
 whole (1024² × 3ch ≈ 12 MB), so XLA's fused gather-march needs no brick
 residency machinery.  This probe records the throughput backing that
-waiver.  Measured 2026-08-21 on the v5e (see /tmp or rerun):
+waiver.  Measured 2026-08-21 on the v5e:
 
-    result is printed as one line; paste the latest here when it changes.
+    2D XLA march 1024^2, 131072 rays x 512 budget: 1835 ms/march
+    -> 0.037 Gsteps/s (fwd; coherent +x bundle, random y)
+
+For scale: the reference's only 2-D implementations are the dim-templated
+CPU kernel and the CuPy path (no published numbers); the 2-D fields that
+fit VMEM whole make a brick-resident 2-D Pallas kernel a low-value
+specialisation — the XLA number above is the documented trade.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/probe_r5_2d.py
 """

@@ -674,11 +674,22 @@ def _make_vjp_fn(budget, bend, step, min_bright, has_absorb, k_steps,
             _bwd_impl_lines as bwd_impl_fn,
             march_lines as march_fn,
         )
-        from .line_table import (
-            build_line_table as build_fn,
-            fold_line_grads as fold_fn,
-            line_brick_grid as grid_fn,
-        )
+        from .line_table import line_brick_grid as grid_fn
+
+        if interpret:
+            from .line_table import (
+                build_line_table as build_fn,
+                fold_line_grads as fold_fn,
+            )
+        else:
+            # Pallas build/fold kernels (line_table_pallas): the XLA
+            # versions' per-brick transposes cost 53 + 46 ms per 256³ step
+            # vs 33 + 36 ms for the explicit kernels (probe_r5_table,
+            # bit-exact build / 1.5e-7 fold parity on chip)
+            from .line_table_pallas import (
+                build_line_table_pallas as build_fn,
+                fold_line_grads_pallas as fold_fn,
+            )
     else:
         from .march_pallas import brick_grid as grid_fn
 
