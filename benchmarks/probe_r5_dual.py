@@ -42,18 +42,17 @@ pos = jnp.asarray(np.stack(
 dirs = jnp.asarray(np.tile(np.array([[16.0, 0, 0]], np.float32), (side * side, 1)))
 
 VARIANTS = [
-    ("single_k32", dict(dual=False, k_steps=32)),
-    ("dual_k32", dict(dual=True, k_steps=32)),
-    ("dual_unroll_k64", dict(dual=True, k_steps=64, _ablate="unroll")),
-    ("dual_unroll_k96", dict(dual=True, k_steps=96, _ablate="unroll")),
-    ("single_unroll_k64", dict(dual=False, k_steps=64, _ablate="unroll")),
+    ("1c_k32_nomat", dict(dual=True, k_steps=32, anchor2x=False, _ablate="nomat")),
+    ("1c_k32_mat", dict(dual=True, k_steps=32, anchor2x=False)),
+    ("1c_k64_mat", dict(dual=True, k_steps=64, anchor2x=False)),
+    ("2x_k64_mat", dict(dual=True, k_steps=64, anchor2x=True)),
 ]
 REPS = 9
 
 
 def run(kw):
     out = march_lines(packed, pos, dirs, BUDGET, bend_scale=BEND,
-                      step_scale=STEP, table=table, nb=nb, anchor2x=True, **kw)
+                      step_scale=STEP, table=table, nb=nb, **kw)
     return (float(jnp.sum(out.end_iteration.astype(jnp.float32))),
             float(jnp.sum(out.windows_used.astype(jnp.float32))))
 

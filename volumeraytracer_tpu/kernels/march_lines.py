@@ -46,10 +46,16 @@ import os as _os
 
 from ..types import TraceResult
 
-#: production defaults for the dual-brick residency scheduler, overridable
-#: for experiments (benchmarks/probe_r5_dual.py, bench A/Bs)
+#: production defaults for the dual-brick residency scheduler and anchor
+#: shape, overridable for experiments (benchmarks/probe_r5_dual.py, bench
+#: A/Bs).  anchor2x defaults OFF since round 5: it bought window length
+#: when single-brick residency starved efficiency, but its dual-sub-cell
+#: step body costs ~2x per window and dual residency restored efficiency
+#: without it (dual 1-cell k32 0.697 vs dual 2x k64 0.595 Gsteps/s,
+#: same-run A/B, probe_r5_dual.py).
 DUAL_FWD_DEFAULT = _os.environ.get("VRT_DUAL_FWD", "1") == "1"
 DUAL_BWD_DEFAULT = _os.environ.get("VRT_DUAL_BWD", "1") == "1"
+ANCHOR2X_DEFAULT = _os.environ.get("VRT_A2X", "0") == "1"
 from .march_pallas import (
     ABSORB_CH,
     BRIGHT_MAX_F,
@@ -208,11 +214,11 @@ def _march_kernel_lines(
     if record_path:
         (opx_ref, opy_ref, opz_ref, odx_ref, ody_ref, odz_ref,
          orem_ref, oalive_ref, obr_ref, ow_ref, path_ref,
-         brick_ref, pbuf_ref, dma_sem, path_sem) = refs
+         brick_ref, chvm_ref, pbuf_ref, dma_sem, path_sem) = refs
     else:
         (opx_ref, opy_ref, opz_ref, odx_ref, ody_ref, odz_ref,
          orem_ref, oalive_ref, obr_ref, ow_ref,
-         brick_ref, dma_sem) = refs
+         brick_ref, chvm_ref, dma_sem) = refs
     xb = jnp.float32(bounds[0] - 1)
     yb = jnp.float32(bounds[1] - 1)
     zb = jnp.float32(bounds[2] - 1)
@@ -521,8 +527,66 @@ def _march_kernel_lines(
 
         xlim = 2.0 if anchor2x else 1.0
 
+        # ---- corner-row materialisation (round 5): write the merged
+        # per-window corner rows into a VMEM scratch once and LOAD them in
+        # the step body.  Kept live as values, the rows + their gather
+        # dataflow get spilled/rematerialised across the chunk loop by the
+        # compiler — the production step slot measured ~1 µs while the
+        # identical body with register/ref-resident rows runs at 210 ns
+        # (benchmarks/probe_r5_stepbody.py).  Explicit loads cost ~35 ns of
+        # issue per step and make the remat impossible. ("nomat" A/B.)
+        mat = (
+            "nomat" not in ablate
+            and "nogather" not in ablate
+            and "nozsel" not in ablate
+        )
+        if mat:
+            if anchor2x:
+                for o in range(8):
+                    for c in range(4):
+                        chvm_ref[o * 4 + c] = chv_lo[o][c]
+                        chvm_ref[32 + o * 4 + c] = chv_hi[o][c]
+                if has_absorb:
+                    chvm_ref[64] = absorb_lo
+                    chvm_ref[65] = absorb_hi
+            else:
+                for o in range(8):
+                    for c in range(4):
+                        chvm_ref[o * 4 + c] = chv[o][c]
+                if has_absorb:
+                    chvm_ref[32] = absorb_row
+
         def step_body(k, carry):
             px, py, pz, dx, dy, dz, rem, alive, br = carry
+            if mat:
+                if anchor2x:
+                    chv_lo_l = [
+                        [chvm_ref[o * 4 + c] for c in range(4)]
+                        for o in range(8)
+                    ]
+                    chv_hi_l = [
+                        [chvm_ref[32 + o * 4 + c] for c in range(4)]
+                        for o in range(8)
+                    ]
+                    if has_absorb:
+                        absorb_lo_l = chvm_ref[64]
+                        absorb_hi_l = chvm_ref[65]
+                else:
+                    chv_l = [
+                        [chvm_ref[o * 4 + c] for c in range(4)]
+                        for o in range(8)
+                    ]
+                    if has_absorb:
+                        absorb_row_l = chvm_ref[32]
+            else:
+                if anchor2x:
+                    chv_lo_l, chv_hi_l = chv_lo, chv_hi
+                    if has_absorb:
+                        absorb_lo_l, absorb_hi_l = absorb_lo, absorb_hi
+                else:
+                    chv_l = chv
+                    if has_absorb:
+                        absorb_row_l = absorb_row
             fx = px - basex
             fy = py - basey
             fz = pz - basez
@@ -537,11 +601,11 @@ def _march_kernel_lines(
                 sel = fx >= 1.0
                 fxl = jnp.where(sel, fx - 1.0, fx)
                 if has_absorb:
-                    absorb_here = jnp.where(sel, absorb_hi, absorb_lo)
+                    absorb_here = jnp.where(sel, absorb_hi_l, absorb_lo_l)
             else:
                 fxl = fx
                 if has_absorb:
-                    absorb_here = absorb_row
+                    absorb_here = absorb_row_l
 
             if has_absorb:
                 nbr = jnp.maximum(br - absorb_here, 0.0)
@@ -562,8 +626,8 @@ def _march_kernel_lines(
                 acc_hi = [jnp.zeros((RS, RL), jnp.float32) for _ in range(4)]
                 for o in range(8):
                     for c in range(4):
-                        acc_lo[c] = acc_lo[c] + wts[o] * chv_lo[o][c]
-                        acc_hi[c] = acc_hi[c] + wts[o] * chv_hi[o][c]
+                        acc_lo[c] = acc_lo[c] + wts[o] * chv_lo_l[o][c]
+                        acc_hi[c] = acc_hi[c] + wts[o] * chv_hi_l[o][c]
                 interp = [
                     jnp.where(sel, acc_hi[c], acc_lo[c]) for c in range(4)
                 ]
@@ -571,7 +635,7 @@ def _march_kernel_lines(
                 interp = [jnp.zeros((RS, RL), jnp.float32) for _ in range(4)]
                 for o in range(8):
                     for c in range(4):
-                        interp[c] = interp[c] + wts[o] * chv[o][c]
+                        interp[c] = interp[c] + wts[o] * chv_l[o][c]
 
             opaque = interp[3] > 0.0
             if has_absorb:
@@ -742,8 +806,10 @@ def _march_call_lines(
     out_specs = [state_spec] * 10
     out_shape = [f32s] * 6 + [i32s, i32s, f32s, i32s]
     nslots = 2 if dual else 1
+    nrows = 66 if anchor2x else 33  # corner-row materialisation scratch
     scratch = [
         pltpu.VMEM((nslots * RS, LS, LL), jnp.float32),
+        pltpu.VMEM((nrows, RS, RL), jnp.float32),
         pltpu.SemaphoreType.DMA((nslots * RS,)),
     ]
     if record_path:
@@ -757,8 +823,9 @@ def _march_call_lines(
         ]
         scratch = [
             scratch[0],
-            pltpu.VMEM((k_steps, 3, RS, RL), jnp.float32),
             scratch[1],
+            pltpu.VMEM((k_steps, 3, RS, RL), jnp.float32),
+            scratch[2],
             pltpu.SemaphoreType.DMA,
         ]
     call = pl.pallas_call(
@@ -812,7 +879,7 @@ def march_lines(
     nb: Optional[Tuple[int, int, int]] = None,
     return_state: bool = False,
     init_state: Optional[dict] = None,
-    anchor2x: bool = True,
+    anchor2x: Optional[bool] = None,
     record_path: bool = False,
     dual: Optional[bool] = None,
     unscramble: bool = True,
@@ -846,14 +913,16 @@ def march_lines(
     then the previous call's end state.
     """
     assert packed.ndim == 4 and packed.shape[-1] == 4, "3D packed field required"
+    if dual is None:
+        dual = DUAL_FWD_DEFAULT
+    if anchor2x is None:
+        anchor2x = ANCHOR2X_DEFAULT
     # the nogather/nozsel ablation branches bind only the 1-cell chv rows;
     # running them with the 2x anchor would NameError at trace time (and
     # with dual residency their brick_ref indexing is meaningless)
     assert not (
         (anchor2x or dual) and ("nogather" in _ablate or "nozsel" in _ablate)
     ), "ablate='nogather'/'nozsel' requires anchor2x=False, dual=False"
-    if dual is None:
-        dual = DUAL_FWD_DEFAULT
     assert not (dual and "dots2" in _ablate), "ablate='dots2' requires dual=False"
     n_in, dim = start_position.shape
     assert dim == 3
@@ -1012,9 +1081,10 @@ def _bwd_kernel_lines(
     orx_ref, ory_ref, orz_ref,
     ow_ref,
     # scratch
-    brick_ref,  # (RS, LS, LL)
-    gbrick_ref,  # (RS, GLS, LL) per-sublane grad accumulators (line rows)
+    brick_ref,  # (nslots·RS, LS, LL)
+    gbrick_ref,  # (nslots·RS, GLS, LL) per-slot grad accumulators (line rows)
     tmp_ref,  # (1, GLS, LL) RMW staging
+    chvm_ref,  # (48, RS, RL) corner-row materialisation scratch
     dma_sem, g_sem,
     *,
     max_windows: int,
@@ -1293,6 +1363,22 @@ def _bwd_kernel_lines(
         evaluable_w = in_cur
         xlim = 2.0 if anchor2x else 1.0
 
+        # corner-row materialisation — opt-IN for the adjoint (unlike the
+        # forward): the dC accumulators stay loop-carried regardless, so
+        # the extra per-step loads measured -5% (probe_r5_bwd_dual nomat
+        # vs mat, same run)
+        mat = "mat" in ablate
+        if mat:
+            if anchor2x:
+                for o in range(8):
+                    for c in range(NLO):
+                        chvm_ref[o * NLO + c] = chv_lo[o][c]
+                        chvm_ref[24 + o * NLO + c] = chv_hi[o][c]
+            else:
+                for o in range(8):
+                    for c in range(NLO):
+                        chvm_ref[o * NLO + c] = chv[o][c]
+
         zero = jnp.zeros((RS, RL), jnp.float32)
         # corner/point grads: 12 slab points in 2x ((dxi*2+dy)*2+dz layout),
         # 8 corners otherwise ([o*3+c] layout)
@@ -1301,6 +1387,26 @@ def _bwd_kernel_lines(
 
         def step_body(k, carry):
             (px, py, pz, vx, vy, vz, ax, ay, az, bx, by, bz, rrem, dC) = carry
+            if mat:
+                if anchor2x:
+                    chv_lo_l = [
+                        [chvm_ref[o * NLO + c] for c in range(NLO)]
+                        for o in range(8)
+                    ]
+                    chv_hi_l = [
+                        [chvm_ref[24 + o * NLO + c] for c in range(NLO)]
+                        for o in range(8)
+                    ]
+                else:
+                    chv_l = [
+                        [chvm_ref[o * NLO + c] for c in range(NLO)]
+                        for o in range(8)
+                    ]
+            else:
+                if anchor2x:
+                    chv_lo_l, chv_hi_l = chv_lo, chv_hi
+                else:
+                    chv_l = chv
             ilen = 1.0 / (vx * vx + vy * vy + vz * vz)
             candx = px - vx * sx * ilen
             candy = py - vy * sy * ilen
@@ -1338,12 +1444,12 @@ def _bwd_kernel_lines(
                 g0l = g1l = g2l = zero
                 g0h = g1h = g2h = zero
                 for o in range(8):
-                    g0l = g0l + wts[o] * chv_lo[o][0]
-                    g1l = g1l + wts[o] * chv_lo[o][1]
-                    g2l = g2l + wts[o] * chv_lo[o][2]
-                    g0h = g0h + wts[o] * chv_hi[o][0]
-                    g1h = g1h + wts[o] * chv_hi[o][1]
-                    g2h = g2h + wts[o] * chv_hi[o][2]
+                    g0l = g0l + wts[o] * chv_lo_l[o][0]
+                    g1l = g1l + wts[o] * chv_lo_l[o][1]
+                    g2l = g2l + wts[o] * chv_lo_l[o][2]
+                    g0h = g0h + wts[o] * chv_hi_l[o][0]
+                    g1h = g1h + wts[o] * chv_hi_l[o][1]
+                    g2h = g2h + wts[o] * chv_hi_l[o][2]
                 g0 = jnp.where(sel, g0h, g0l)
                 g1 = jnp.where(sel, g1h, g1l)
                 g2 = jnp.where(sel, g2h, g2l)
@@ -1352,9 +1458,9 @@ def _bwd_kernel_lines(
                 g1 = zero
                 g2 = zero
                 for o in range(8):
-                    g0 = g0 + wts[o] * chv[o][0]
-                    g1 = g1 + wts[o] * chv[o][1]
-                    g2 = g2 + wts[o] * chv[o][2]
+                    g0 = g0 + wts[o] * chv_l[o][0]
+                    g1 = g1 + wts[o] * chv_l[o][1]
+                    g2 = g2 + wts[o] * chv_l[o][2]
 
             nvx = vx - g0 * ex
             nvy = vy - g1 * ey
@@ -1382,14 +1488,14 @@ def _bwd_kernel_lines(
                         for dz_ in (0, 1):
                             o = dx_ * 4 + dy_ * 2 + dz_
                             m_l = (
-                                chv_lo[o][0] * h0
-                                + chv_lo[o][1] * h1
-                                + chv_lo[o][2] * h2
+                                chv_lo_l[o][0] * h0
+                                + chv_lo_l[o][1] * h1
+                                + chv_lo_l[o][2] * h2
                             )
                             m_h = (
-                                chv_hi[o][0] * h0
-                                + chv_hi[o][1] * h1
-                                + chv_hi[o][2] * h2
+                                chv_hi_l[o][0] * h0
+                                + chv_hi_l[o][1] * h1
+                                + chv_hi_l[o][2] * h2
                             )
                             m = jnp.where(sel, m_h, m_l)
                             Gx = Gx + dwx[o] * m
@@ -1408,9 +1514,9 @@ def _bwd_kernel_lines(
             else:
                 for o in range(8):
                     m = (
-                        chv[o][0] * h0
-                        + chv[o][1] * h1
-                        + chv[o][2] * h2
+                        chv_l[o][0] * h0
+                        + chv_l[o][1] * h1
+                        + chv_l[o][2] * h2
                     )
                     Gx = Gx + dwx[o] * m
                     Gy = Gy + dwy[o] * m
@@ -1655,6 +1761,7 @@ def _bwd_call_lines(
             pltpu.VMEM(((2 if dual else 1) * RS, LS, LL), jnp.float32),
             pltpu.VMEM(((2 if dual else 1) * RS, GLS, LL), jnp.float32),
             pltpu.VMEM((1, GLS, LL), jnp.float32),
+            pltpu.VMEM((48 if anchor2x else 24, RS, RL), jnp.float32),
             pltpu.SemaphoreType.DMA(((2 if dual else 1) * RS,)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -1811,7 +1918,7 @@ def march_lines_compact(
     precision=jax.lax.Precision.DEFAULT,
     table: Optional[jax.Array] = None,
     nb: Optional[Tuple[int, int, int]] = None,
-    anchor2x: bool = True,
+    anchor2x: Optional[bool] = None,
     dual: bool = True,
 ) -> TraceResult:
     """Two-phase(+) scattered-ray march: march → compact survivors →
@@ -1832,6 +1939,8 @@ def march_lines_compact(
         table, nb = build_line_table(packed, translucency, absorb=absorb)
     assert nb is not None
     has_absorb = translucency is not None or absorb is not None
+    if anchor2x is None:
+        anchor2x = ANCHOR2X_DEFAULT
 
     n = -(-n_in // R) * R
     pad = n - n_in

@@ -242,10 +242,10 @@ def endpoint_render(
             translucency=trc,
             bend_scale=float(invscale) / float(FIX_ONE),
             step_scale=float(invscale) * (STEP_CONST / float(FIX_ONE) / float(FIX_ONE)),
-            # fwd (2x anchor) measured fastest at k=64, the 1-cell adjoint
-            # at k=32 (benchmarks/probe_anchor2x_interleaved.py); env
-            # overrides are experiment knobs (bench A/Bs)
-            k_steps=int(os.environ.get("VRT_KFWD", "64")),
+            # round-5 production: dual residency + 1-cell anchor, k=32 both
+            # ways (probe_r5_dual.py same-run A/B); env overrides are
+            # experiment knobs (bench A/Bs)
+            k_steps=int(os.environ.get("VRT_KFWD", "32")),
             k_steps_bwd=int(os.environ.get("VRT_KBWD", "32")),
             interpret=jax.default_backend() not in ("tpu", "axon"),
             layout=layout or PALLAS_LAYOUT,
