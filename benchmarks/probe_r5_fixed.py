@@ -43,8 +43,10 @@ pos = jnp.asarray(np.stack(
 dirs = jnp.asarray(np.tile(np.array([[16.0, 0, 0]], np.float32), (side * side, 1)))
 
 VARIANTS = [
-    ("normal_k32", dict(k_steps=32)),
-    ("freeze_k32_w2000", dict(k_steps=32, max_windows=2000, _ablate="freeze")),
+    ("chunkmat_k32", dict(k_steps=32)),
+    ("nomat_k32", dict(k_steps=32, _ablate="nomat")),
+    ("chunkmat_k16", dict(k_steps=16)),
+    ("chunkmat_k64", dict(k_steps=64)),
 ]
 REPS = 7
 

@@ -556,28 +556,36 @@ def _march_kernel_lines(
                 if has_absorb:
                     chvm_ref[32] = absorb_row
 
-        def step_body(k, carry):
+        def _load_rows():
+            """Fetch the materialised corner rows from the scratch —
+            called once per CHUNK (8 unrolled steps): per-step loads
+            measured ~1 µs/step of load cost, per-chunk amortises 8×
+            while the 8-step live range is small enough to stay in
+            registers (probe_r5_stepbody's refs+flat config = 210 ns)."""
+            if anchor2x:
+                lo = [
+                    [chvm_ref[o * 4 + c] for c in range(4)] for o in range(8)
+                ]
+                hi = [
+                    [chvm_ref[32 + o * 4 + c] for c in range(4)]
+                    for o in range(8)
+                ]
+                ab = (
+                    (chvm_ref[64], chvm_ref[65]) if has_absorb else (None, None)
+                )
+                return lo, hi, ab[0], ab[1]
+            ch = [[chvm_ref[o * 4 + c] for c in range(4)] for o in range(8)]
+            return ch, (chvm_ref[32] if has_absorb else None)
+
+        def step_body(k, carry, rows=None):
             px, py, pz, dx, dy, dz, rem, alive, br = carry
             if mat:
+                if rows is None:
+                    rows = _load_rows()
                 if anchor2x:
-                    chv_lo_l = [
-                        [chvm_ref[o * 4 + c] for c in range(4)]
-                        for o in range(8)
-                    ]
-                    chv_hi_l = [
-                        [chvm_ref[32 + o * 4 + c] for c in range(4)]
-                        for o in range(8)
-                    ]
-                    if has_absorb:
-                        absorb_lo_l = chvm_ref[64]
-                        absorb_hi_l = chvm_ref[65]
+                    chv_lo_l, chv_hi_l, absorb_lo_l, absorb_hi_l = rows
                 else:
-                    chv_l = [
-                        [chvm_ref[o * 4 + c] for c in range(4)]
-                        for o in range(8)
-                    ]
-                    if has_absorb:
-                        absorb_row_l = chvm_ref[32]
+                    chv_l, absorb_row_l = rows
             else:
                 if anchor2x:
                     chv_lo_l, chv_hi_l = chv_lo, chv_hi
@@ -671,8 +679,9 @@ def _march_kernel_lines(
 
         def run_chunk(s):
             if unroll:
+                rows = _load_rows() if mat else None
                 for k in range(step_chunk):
-                    s = step_body(k, s)
+                    s = step_body(k, s, rows)
                 return s
             return jax.lax.fori_loop(0, step_chunk, step_body, s)
 
