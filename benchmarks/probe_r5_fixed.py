@@ -43,10 +43,10 @@ pos = jnp.asarray(np.stack(
 dirs = jnp.asarray(np.tile(np.array([[16.0, 0, 0]], np.float32), (side * side, 1)))
 
 VARIANTS = [
-    ("chunkmat_k32", dict(k_steps=32)),
-    ("nomat_k32", dict(k_steps=32, _ablate="nomat")),
-    ("chunkmat_k16", dict(k_steps=16)),
-    ("chunkmat_k64", dict(k_steps=64)),
+    ("normal_k32", dict(k_steps=32)),
+    ("flat_k32", dict(k_steps=32, _ablate="flat")),
+    ("flat_k16", dict(k_steps=16, _ablate="flat")),
+    ("flat_k24", dict(k_steps=24, _ablate="flat")),
 ]
 REPS = 7
 

@@ -56,12 +56,12 @@ K = 32
 def run_fwd(ablate):
     out = march_lines(packed, pos, dirs, BUDGET, bend_scale=BEND,
                       step_scale=STEP, k_steps=K, table=table, nb=nb,
-                      anchor2x=True, _ablate=ablate)
+                      _ablate=ablate)
     return (float(jnp.sum(out.end_iteration.astype(jnp.float32))),
             float(jnp.sum(out.windows_used.astype(jnp.float32))))
 
 
-for ab in ("", "unroll"):
+for ab in ("",):
     t0 = time.perf_counter()
     s, w = run_fwd(ab)
     compile_s = time.perf_counter() - t0

@@ -282,6 +282,13 @@ def _march_kernel_lines(
             vB = need_b != DEAD_ID
             hitA = (need_a == cont0) | (need_a == cont1)
             hitB = (need_b == cont0) | (need_b == cont1)
+            if "dmaevery" in ablate:
+                # cost probe: force the conditional-DMA region to fire
+                # every window (re-copies identical data — semantics
+                # unchanged); isolates the region's scalar-extract + DMA
+                # cost, which the freeze fixed-cost probe never exercises
+                hitA = hitA & (need_a == DEAD_ID)
+                hitB = hitB & (need_b == DEAD_ID)
             destA = jnp.where(hitB & (cont0 == need_b), 1, 0)
             slotA = jnp.where(
                 hitA, jnp.where(cont0 == need_a, 0, 1), destA
@@ -684,6 +691,16 @@ def _march_kernel_lines(
                     s = step_body(k, s, rows)
                 return s
             return jax.lax.fori_loop(0, step_chunk, step_body, s)
+
+        if "flat" in ablate and not record_path:
+            # probe: the whole window fully unrolled — no chunk loop, no
+            # early exit, rows loaded once per WINDOW (isolates the
+            # per-chunk overhead at the cost of ~15% wasted slots)
+            rows = _load_rows() if mat else None
+            s = (px, py, pz, dx, dy, dz, rem, alive, br)
+            for k in range(k_steps):
+                s = step_body(k, s, rows)
+            return w + 1, new_ids, s
 
         if "noearly" in ablate and not record_path:
 
