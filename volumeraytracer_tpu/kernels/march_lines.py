@@ -1074,13 +1074,24 @@ def _unscramble_path(raw, windows_used, start_sorted, budget, inv, n_in):
         s0 = start[t * R : (t + 1) * R]
         prev = np.concatenate([s0[:, None], seq[:, :-1]], axis=1)
         moved = np.any(seq != prev, axis=-1)  # (R, w·K)
-        for r in range(R):
-            row = out[t * R + r]
-            row[0] = s0[r]
-            pts = seq[r][moved[r]][:budget]
-            m = len(pts)
-            row[1 : 1 + m] = pts
-            row[1 + m :] = pts[-1] if m else s0[r]
+        # vectorised per-row compaction (the round-4 version looped over
+        # rays in python): each kept point's destination row index is the
+        # running count of moved steps; a row-indexed scatter places them,
+        # then a cummax-style forward fill back-fills the tail with the
+        # end position
+        dest = np.cumsum(moved, axis=1)  # (R, w·K) in [0, budget']
+        dest = np.where(moved, dest, 0)
+        dest = np.minimum(dest, budget)  # clip overlong marches
+        rows = out[t * R : (t + 1) * R]
+        rows[:, 0] = s0
+        ridx = np.broadcast_to(np.arange(R)[:, None], moved.shape)
+        # later duplicates at clipped dest==budget overwrite; fine (tail)
+        rows[ridx[moved], dest[moved]] = seq[moved]
+        # back-fill: positions after the last executed step repeat it
+        m_count = np.minimum(moved.sum(axis=1), budget)  # (R,)
+        tail = np.arange(budget + 1)[None] > m_count[:, None]
+        last = rows[np.arange(R), m_count]  # (R, 3)
+        rows[tail] = np.broadcast_to(last[:, None], rows.shape)[tail]
     if inv is not None:
         out = out[inv]
     return out[:n_in]
