@@ -43,10 +43,9 @@ pos = jnp.asarray(np.stack(
 dirs = jnp.asarray(np.tile(np.array([[16.0, 0, 0]], np.float32), (side * side, 1)))
 
 VARIANTS = [
-    ("normal_k32", dict(k_steps=32)),
-    ("flat_k32", dict(k_steps=32, _ablate="flat")),
-    ("flat_k16", dict(k_steps=16, _ablate="flat")),
-    ("flat_k24", dict(k_steps=24, _ablate="flat")),
+    ("freeze_w2000", dict(k_steps=32, max_windows=2000, _ablate="freeze")),
+    ("freeze_ne_w2000", dict(k_steps=32, max_windows=2000, _ablate="freeze noearly")),
+    ("freeze_flat_w2000", dict(k_steps=32, max_windows=2000, _ablate="freeze flat")),
 ]
 REPS = 7
 

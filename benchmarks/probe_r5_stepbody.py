@@ -158,6 +158,35 @@ def make_kernel(variant, structure="flat", chv_mode="refs"):
             return px, py, pz, dx, dy, dz, rem, alive
 
         def window(w, carry):
+            if structure in ("live", "livechunk"):
+                # keep every step LIVE: re-wrap positions into the anchor
+                # cell at window start (slow rays: |v|=64 -> ~0.008
+                # voxel/step, 64 steps stay inside the cell).  The original
+                # probe's rays crossed in window 1 and ran 99.95% DEAD
+                # steps — dead steps measured 25x cheaper than live ones.
+                px0, py0, pz0 = carry[0], carry[1], carry[2]
+                carry = (px0 - jnp.floor(px0), py0 - jnp.floor(py0),
+                         pz0 - jnp.floor(pz0)) + carry[3:]
+                if structure == "livechunk":
+                    def ch_cond(c):
+                        j, cont, _ = c
+                        return (j < K // 8) & cont
+
+                    def ch_body(c):
+                        j, _, s = c
+                        for k in range(8):
+                            s = step_body(k, s)
+                        cont = jnp.any(s[0] < 1e9)
+                        return j + 1, cont, s
+
+                    _, _, carry = jax.lax.while_loop(
+                        ch_cond, ch_body,
+                        (jnp.int32(0), jnp.asarray(True), carry),
+                    )
+                    return carry
+                for k in range(K):
+                    carry = step_body(k, carry)
+                return carry
             if structure == "chunked":
                 # the production chunk structure: 8-step unrolled chunks in
                 # an early-exit while_loop
@@ -200,7 +229,7 @@ def run_variant(variant):
     px = jnp.asarray(rng.uniform(0.2, 0.3, (RS, RL)).astype(np.float32))
     py = jnp.asarray(rng.uniform(0.3, 0.7, (RS, RL)).astype(np.float32))
     pz = jnp.asarray(rng.uniform(0.3, 0.7, (RS, RL)).astype(np.float32))
-    dx = jnp.full((RS, RL), 16.0, jnp.float32)
+    dx = jnp.full((RS, RL), 64.0, jnp.float32)
     dy = jnp.zeros((RS, RL), jnp.float32)
     dz = jnp.zeros((RS, RL), jnp.float32)
     rem = jnp.full((RS, RL), 10 ** 9, jnp.int32)
@@ -231,8 +260,9 @@ def run_variant(variant):
 
 for v in (
     "full",
-    "a2x",
-    ("a2x", "chunked", "values"),
+    ("full", "live", "refs"),
+    ("full", "livechunk", "refs"),
+    ("full", "live", "values"),
 ):
     run_variant(v)
 
@@ -375,7 +405,7 @@ def run_gather(gmode):
     px = jnp.asarray(rng.uniform(0.2, 9.0, (RS, RL)).astype(np.float32))
     py = jnp.asarray(rng.uniform(0.3, 9.0, (RS, RL)).astype(np.float32))
     pz = jnp.asarray(rng.uniform(0.3, 7.0, (RS, RL)).astype(np.float32))
-    dx = jnp.full((RS, RL), 16.0, jnp.float32)
+    dx = jnp.full((RS, RL), 64.0, jnp.float32)
     dy = jnp.zeros((RS, RL), jnp.float32)
     dz = jnp.zeros((RS, RL), jnp.float32)
     rem = jnp.full((RS, RL), 10 ** 9, jnp.int32)
