@@ -43,9 +43,10 @@ pos = jnp.asarray(np.stack(
 dirs = jnp.asarray(np.tile(np.array([[16.0, 0, 0]], np.float32), (side * side, 1)))
 
 VARIANTS = [
-    ("freeze_w2000", dict(k_steps=32, max_windows=2000, _ablate="freeze")),
-    ("freeze_ne_w2000", dict(k_steps=32, max_windows=2000, _ablate="freeze noearly")),
-    ("freeze_flat_w2000", dict(k_steps=32, max_windows=2000, _ablate="freeze flat")),
+    ("mw2", dict(k_steps=32, max_windows=2)),
+    ("mw5", dict(k_steps=32, max_windows=5)),
+    ("mw10", dict(k_steps=32, max_windows=10)),
+    ("mw19_full", dict(k_steps=32)),
 ]
 REPS = 7
 

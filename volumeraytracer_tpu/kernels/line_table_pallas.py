@@ -106,47 +106,115 @@ def _split_field(packed, absorb, has_absorb, nb):
 
 
 def _build_kernel(F_ref, out_ref, slab_ref, stage_ref, in_sem, out_sem, *,
-                  nby: int, nbz: int):
+                  nby: int, nbz: int, ncols: int, cb: int):
+    """Double-buffered column pipeline: column i's compute overlaps column
+    i+1's input DMA, and column i's output DMAs are waited only when their
+    stage slot is about to be reused (column i+2) — the serialized
+    start→wait pattern measured ~25 µs of pure DMA latency per column
+    (~16× the traffic roofline of this kernel)."""
     p = pl.program_id(0)
-    bx = p // nby
-    by = p % nby
 
-    cp = pltpu.make_async_copy(
-        F_ref.at[pl.ds(bx * LBX, LPX), pl.ds(by, 1)],
-        slab_ref,
-        in_sem,
-    )
-    cp.start()
-    cp.wait()
+    def start_in(col, slot):
+        bx = col // nby
+        by = col % nby
+        return pltpu.make_async_copy(
+            F_ref.at[pl.ds(bx * LBX, LPX), pl.ds(by, 1)],
+            slab_ref.at[slot],
+            in_sem.at[slot],
+        )
 
-    ZC = slab_ref.shape[-1]
-    slab = slab_ref[:, 0, :LPY, :]  # (LPX, LPY, ZC)
-    lines = slab.reshape(NLINES, ZC)  # (121, ZC) — row = px·LPY + py
-    # gather the nbz overlapping z-windows (72 rows each, stride 64) and
-    # transpose ONCE: (121, nbz·72) → (nbz·72, 121)
-    M = jnp.concatenate(
-        [lines[:, LBZ * TCH * bz : LBZ * TCH * bz + LS] for bz in range(nbz)],
-        axis=1,
-    )
-    T = jnp.swapaxes(M, 0, 1)  # (nbz·LS, 121)
-    stage_ref[:, :, :NLINES] = T.reshape(nbz, LS, NLINES)
-    stage_ref[:, :, NLINES:] = jnp.zeros(
-        (nbz, LS, LL - NLINES), jnp.float32
-    )
+    @pl.when(p * cb < ncols)
+    def _():
+        start_in(p * cb, 0).start()
 
-    base = (bx * nby + by) * nbz
-    for bz in range(nbz):
-        pltpu.make_async_copy(
-            stage_ref.at[pl.ds(bz, 1)],
-            out_ref.at[pl.ds(base + bz, 1)],
-            out_sem.at[bz],
-        ).start()
-    for bz in range(nbz):
-        pltpu.make_async_copy(
-            stage_ref.at[pl.ds(bz, 1)],
-            out_ref.at[pl.ds(base + bz, 1)],
-            out_sem.at[bz],
-        ).wait()
+    for i in range(cb):
+        col = p * cb + i
+        slot = i % 2
+
+        @pl.when(col < ncols)
+        def _(col=col, slot=slot, i=i):
+            nxt = col + 1
+
+            if i + 1 < cb:  # the next program's prologue handles ITS first
+                @pl.when(nxt < ncols)
+                def _():
+                    start_in(nxt, (slot + 1) % 2).start()
+
+            start_in(col, slot).wait()
+
+            ZC = slab_ref.shape[-1]
+            slab = slab_ref[slot, :, 0, :LPY, :]  # (LPX, LPY, ZC)
+            lines = slab.reshape(NLINES, ZC)  # (121, ZC): row = px·LPY + py
+            M = jnp.concatenate(
+                [
+                    lines[:, LBZ * TCH * bz : LBZ * TCH * bz + LS]
+                    for bz in range(nbz)
+                ],
+                axis=1,
+            )
+            # transpose on the MXU: identity matmul with the LHS
+            # contraction on dim 0; HIGHEST precision is exact for x·1.0
+            eye = jnp.eye(NLINES, dtype=jnp.float32)
+            T = jax.lax.dot_general(
+                M, eye,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (nbz·LS, 121)
+
+            # before reusing this stage slot, retire its previous column's
+            # output DMAs
+            @pl.when(i >= 2)
+            def _():
+                prev = col - 2
+                base_p = prev * nbz
+                for bz in range(nbz):
+                    pltpu.make_async_copy(
+                        stage_ref.at[slot, pl.ds(bz, 1)],
+                        out_ref.at[pl.ds(base_p + bz, 1)],
+                        out_sem.at[slot, bz],
+                    ).wait()
+
+            stage_ref[slot, :, :, :NLINES] = T.reshape(nbz, LS, NLINES)
+            stage_ref[slot, :, :, NLINES:] = jnp.zeros(
+                (nbz, LS, LL - NLINES), jnp.float32
+            )
+            base = col * nbz
+            for bz in range(nbz):
+                pltpu.make_async_copy(
+                    stage_ref.at[slot, pl.ds(bz, 1)],
+                    out_ref.at[pl.ds(base + bz, 1)],
+                    out_sem.at[slot, bz],
+                ).start()
+
+    # retire the still-in-flight output DMAs.  Column i is retired by the
+    # main loop only if iteration i+2 runs IN THIS PROGRAM with a valid
+    # column; unretired are therefore i >= cb-2 (always) plus tail columns
+    # whose col+2 crosses ncols.
+    for i in range(cb):
+        col = p * cb + i
+        slot = i % 2
+        if i >= cb - 2:
+            cond = col < ncols
+        else:
+            cond = (col < ncols) & (col + 2 >= ncols)
+
+        @pl.when(cond)
+        def _(col=col, slot=slot):
+            base = col * nbz
+            for bz in range(nbz):
+                pltpu.make_async_copy(
+                    stage_ref.at[slot, pl.ds(bz, 1)],
+                    out_ref.at[pl.ds(base + bz, 1)],
+                    out_sem.at[slot, bz],
+                ).wait()
+
+
+#: brick columns per grid program — the per-program pipeline overhead
+#: measured ~40-50 us (benchmarks/probe_r5_fixed.py max_windows scaling and
+#: the 49 us/program build cost vs its ~8 us of DMA+transpose work);
+#: batching amortises it
+COLS_PER_PROGRAM = 16
 
 
 @functools.partial(jax.jit, static_argnames=("has_absorb", "nb", "interpret"))
@@ -154,18 +222,22 @@ def _build_line_table_pallas_jit(packed, absorb, *, has_absorb, nb, interpret):
     nbx, nby, nbz = nb
     F = _split_field(packed, absorb, has_absorb, nb)
     ZC = F.shape[-1]
-    kernel = functools.partial(_build_kernel, nby=nby, nbz=nbz)
+    ncols = nbx * nby
+    cb = min(COLS_PER_PROGRAM, ncols)
+    kernel = functools.partial(
+        _build_kernel, nby=nby, nbz=nbz, ncols=ncols, cb=cb
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(nbx * nby,),
+        grid=(-(-ncols // cb),),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((nbx * nby * nbz, LS, LL), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((LPX, 1, YW, ZC), jnp.float32),
-            pltpu.VMEM((nbz, LS, LL), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA((nbz,)),
+            pltpu.VMEM((2, LPX, 1, YW, ZC), jnp.float32),
+            pltpu.VMEM((2, nbz, LS, LL), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, nbz)),
         ],
         interpret=interpret,
     )(F)
@@ -200,56 +272,103 @@ def build_line_table_pallas(
 
 
 def _fold_kernel(g_ref, out_ref, gstage_ref, lines_ref, in_sem, out_sem, *,
-                 nbz: int):
-    """Per brick column: DMA the column's nbz gradient bricks in, transpose
-    back to line-major once, fold the overlapping z-windows densely
-    (body/halo split — Mosaic has no scatter-add), and write the column's
-    (128, ZCp) line block.  The x/y overlap-adds across columns happen in
-    XLA afterwards (dense ``_overlap_add`` — the cheap part of the original
-    fold; only the per-brick transpose was expensive)."""
+                 nbz: int, ncols: int, cb: int):
+    """Double-buffered column pipeline (mirror of the build kernel): DMA
+    the next column's gradient bricks while folding the current one, and
+    retire output DMAs lazily."""
     p = pl.program_id(0)
-    base = p * nbz
 
-    for bz in range(nbz):
-        pltpu.make_async_copy(
-            g_ref.at[pl.ds(base + bz, 1)],
-            gstage_ref.at[pl.ds(bz, 1)],
-            in_sem.at[bz],
-        ).start()
-    for bz in range(nbz):
-        pltpu.make_async_copy(
-            g_ref.at[pl.ds(base + bz, 1)],
-            gstage_ref.at[pl.ds(bz, 1)],
-            in_sem.at[bz],
-        ).wait()
+    def start_in(col, slot):
+        base = col * nbz
+        for bz in range(nbz):
+            pltpu.make_async_copy(
+                g_ref.at[pl.ds(base + bz, 1)],
+                gstage_ref.at[slot, pl.ds(bz, 1)],
+                in_sem.at[slot, bz],
+            ).start()
 
-    ZCp = lines_ref.shape[-1]
+    def wait_in(col, slot):
+        base = col * nbz
+        for bz in range(nbz):
+            pltpu.make_async_copy(
+                g_ref.at[pl.ds(base + bz, 1)],
+                gstage_ref.at[slot, pl.ds(bz, 1)],
+                in_sem.at[slot, bz],
+            ).wait()
 
-    gst = gstage_ref[...].reshape(nbz * LS, LL)
-    M = jnp.swapaxes(gst[:, :NLINES], 0, 1)  # (121, nbz·LS)
-    # overlapping z-window adjoint, dense: 72 rows = 64-row body + 8-row
-    # halo; bodies tile contiguously, halos land 64 lanes later (lane
-    # slices + concat only — lane-dim reshapes don't lower)
-    B = LBZ * TCH
-    H = LS - B
-    body = jnp.concatenate(
-        [M[:, bz * LS : bz * LS + B] for bz in range(nbz)], axis=1
-    )  # (121, nbz·B)
-    hz = jnp.zeros((NLINES, B - H), jnp.float32)
-    halo_parts = []
-    for bz in range(nbz):
-        halo_parts.append(M[:, bz * LS + B : (bz + 1) * LS])
-        halo_parts.append(hz)
-    halo = jnp.concatenate(halo_parts, axis=1)  # (121, nbz·B)
-    lines = jnp.pad(body, ((0, 0), (0, ZCp - nbz * B))) + jnp.pad(
-        halo, ((0, 0), (B, ZCp - B - nbz * B))
-    )
-    lines_ref[0, :NLINES] = lines
-    lines_ref[0, NLINES:] = jnp.zeros((LL - NLINES, ZCp), jnp.float32)
+    def out_dma(col, slot):
+        return pltpu.make_async_copy(
+            lines_ref.at[slot], out_ref.at[pl.ds(col, 1)], out_sem.at[slot]
+        )
 
-    wr = pltpu.make_async_copy(lines_ref, out_ref.at[pl.ds(p, 1)], out_sem)
-    wr.start()
-    wr.wait()
+    @pl.when(p * cb < ncols)
+    def _():
+        start_in(p * cb, 0)
+
+    for i in range(cb):
+        col = p * cb + i
+        slot = i % 2
+
+        @pl.when(col < ncols)
+        def _(col=col, slot=slot, i=i):
+            if i + 1 < cb:  # next program's prologue handles its own first
+                @pl.when(col + 1 < ncols)
+                def _():
+                    start_in(col + 1, (slot + 1) % 2)
+
+            wait_in(col, slot)
+
+            ZCp = lines_ref.shape[-1]
+            gst = gstage_ref[slot].reshape(nbz * LS, LL)
+            # MXU identity transpose (see the build kernel) — exact at
+            # HIGHEST; contract over the SMALL (121) dim
+            geye = jnp.eye(NLINES, dtype=jnp.float32)
+            M = jax.lax.dot_general(
+                geye, gst[:, :NLINES],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (121, nbz·LS)
+            # overlapping z-window adjoint, dense: 72 rows = 64-row body +
+            # 8-row halo; bodies tile contiguously, halos land 64 lanes
+            # later (lane slices + concat only)
+            B = LBZ * TCH
+            H = LS - B
+            body = jnp.concatenate(
+                [M[:, bz * LS : bz * LS + B] for bz in range(nbz)], axis=1
+            )  # (121, nbz·B)
+            hz = jnp.zeros((NLINES, B - H), jnp.float32)
+            halo_parts = []
+            for bz in range(nbz):
+                halo_parts.append(M[:, bz * LS + B : (bz + 1) * LS])
+                halo_parts.append(hz)
+            halo = jnp.concatenate(halo_parts, axis=1)  # (121, nbz·B)
+            lines = jnp.pad(
+                body, ((0, 0), (0, ZCp - nbz * B))
+            ) + jnp.pad(halo, ((0, 0), (B, ZCp - B - nbz * B)))
+
+            @pl.when(i >= 2)
+            def _():
+                out_dma(col - 2, slot).wait()
+
+            lines_ref[slot, 0, :NLINES] = lines
+            lines_ref[slot, 0, NLINES:] = jnp.zeros(
+                (LL - NLINES, ZCp), jnp.float32
+            )
+            out_dma(col, slot).start()
+
+    # retire still-in-flight outputs (see the build kernel's tail logic)
+    for i in range(cb):
+        col = p * cb + i
+        slot = i % 2
+        if i >= cb - 2:
+            cond = col < ncols
+        else:
+            cond = (col < ncols) & (col + 2 >= ncols)
+
+        @pl.when(cond)
+        def _(col=col, slot=slot):
+            out_dma(col, slot).wait()
 
 
 @functools.partial(
@@ -261,18 +380,20 @@ def _fold_line_grads_pallas_jit(gtable, *, packed_shape, nb, interpret):
     CX, CY, CZ = nbx * LBX, nby * LBY, nbz * LBZ
     ZC = (CZ + 1) * TCH
     ZCp = -(-ZC // 128) * 128
-    kernel = functools.partial(_fold_kernel, nbz=nbz)
+    ncols = nbx * nby
+    cb = min(COLS_PER_PROGRAM, ncols)
+    kernel = functools.partial(_fold_kernel, nbz=nbz, ncols=ncols, cb=cb)
     cols = pl.pallas_call(
         kernel,
-        grid=(nbx * nby,),
+        grid=(-(-ncols // cb),),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((nbx * nby, LL, ZCp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((nbz, LS, LL), jnp.float32),
-            pltpu.VMEM((1, LL, ZCp), jnp.float32),
-            pltpu.SemaphoreType.DMA((nbz,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, nbz, LS, LL), jnp.float32),
+            pltpu.VMEM((2, 1, LL, ZCp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, nbz)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(gtable)
