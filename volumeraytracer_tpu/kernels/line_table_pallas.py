@@ -145,47 +145,49 @@ def _build_kernel(F_ref, out_ref, slab_ref, stage_ref, in_sem, out_sem, *,
             ZC = slab_ref.shape[-1]
             slab = slab_ref[slot, :, 0, :LPY, :]  # (LPX, LPY, ZC)
             lines = slab.reshape(NLINES, ZC)  # (121, ZC): row = px·LPY + py
-            M = jnp.concatenate(
-                [
-                    lines[:, LBZ * TCH * bz : LBZ * TCH * bz + LS]
-                    for bz in range(nbz)
-                ],
-                axis=1,
-            )
-            # transpose on the MXU: identity matmul with the LHS
-            # contraction on dim 0; HIGHEST precision is exact for x·1.0
+            # ONE whole-column MXU transpose (identity matmul, exact at
+            # HIGHEST), THEN slice the overlapping z-windows in the
+            # SUBLANE dim — offsets 64·bz are 8-aligned, whereas lane
+            # slices at 64·bz offsets force lane-rotation slow paths
             eye = jnp.eye(NLINES, dtype=jnp.float32)
-            T = jax.lax.dot_general(
-                M, eye,
+            T_all = jax.lax.dot_general(
+                lines, eye,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
+            )  # (ZC, 121)
+            T = jnp.concatenate(
+                [
+                    T_all[LBZ * TCH * bz : LBZ * TCH * bz + LS]
+                    for bz in range(nbz)
+                ],
+                axis=0,
             )  # (nbz·LS, 121)
 
             # before reusing this stage slot, retire its previous column's
-            # output DMAs
+            # output DMA
             @pl.when(i >= 2)
             def _():
                 prev = col - 2
-                base_p = prev * nbz
-                for bz in range(nbz):
-                    pltpu.make_async_copy(
-                        stage_ref.at[slot, pl.ds(bz, 1)],
-                        out_ref.at[pl.ds(base_p + bz, 1)],
-                        out_sem.at[slot, bz],
-                    ).wait()
+                pltpu.make_async_copy(
+                    stage_ref.at[slot],
+                    out_ref.at[pl.ds(prev * nbz, nbz)],
+                    out_sem.at[slot, 0],
+                ).wait()
 
             stage_ref[slot, :, :, :NLINES] = T.reshape(nbz, LS, NLINES)
             stage_ref[slot, :, :, NLINES:] = jnp.zeros(
                 (nbz, LS, LL - NLINES), jnp.float32
             )
-            base = col * nbz
-            for bz in range(nbz):
-                pltpu.make_async_copy(
-                    stage_ref.at[slot, pl.ds(bz, 1)],
-                    out_ref.at[pl.ds(base + bz, 1)],
-                    out_sem.at[slot, bz],
-                ).start()
+            # ONE DMA for the whole column: its nbz bricks are contiguous
+            # in the table (base = col·nbz) — 32 separate 36 KB DMAs per
+            # column cost ~1.5 µs of issue overhead EACH (~30 ms across
+            # the 676 columns, the measured kernel wall)
+            pltpu.make_async_copy(
+                stage_ref.at[slot],
+                out_ref.at[pl.ds(col * nbz, nbz)],
+                out_sem.at[slot, 0],
+            ).start()
 
     # retire the still-in-flight output DMAs.  Column i is retired by the
     # main loop only if iteration i+2 runs IN THIS PROGRAM with a valid
@@ -201,13 +203,11 @@ def _build_kernel(F_ref, out_ref, slab_ref, stage_ref, in_sem, out_sem, *,
 
         @pl.when(cond)
         def _(col=col, slot=slot):
-            base = col * nbz
-            for bz in range(nbz):
-                pltpu.make_async_copy(
-                    stage_ref.at[slot, pl.ds(bz, 1)],
-                    out_ref.at[pl.ds(base + bz, 1)],
-                    out_sem.at[slot, bz],
-                ).wait()
+            pltpu.make_async_copy(
+                stage_ref.at[slot],
+                out_ref.at[pl.ds(col * nbz, nbz)],
+                out_sem.at[slot, 0],
+            ).wait()
 
 
 #: brick columns per grid program — the per-program pipeline overhead
@@ -278,23 +278,20 @@ def _fold_kernel(g_ref, out_ref, gstage_ref, lines_ref, in_sem, out_sem, *,
     retire output DMAs lazily."""
     p = pl.program_id(0)
 
+    def in_dma(col, slot):
+        # one contiguous DMA per column (bricks base = col·nbz are
+        # adjacent in the gradient table) — see the build kernel
+        return pltpu.make_async_copy(
+            g_ref.at[pl.ds(col * nbz, nbz)],
+            gstage_ref.at[slot],
+            in_sem.at[slot, 0],
+        )
+
     def start_in(col, slot):
-        base = col * nbz
-        for bz in range(nbz):
-            pltpu.make_async_copy(
-                g_ref.at[pl.ds(base + bz, 1)],
-                gstage_ref.at[slot, pl.ds(bz, 1)],
-                in_sem.at[slot, bz],
-            ).start()
+        in_dma(col, slot).start()
 
     def wait_in(col, slot):
-        base = col * nbz
-        for bz in range(nbz):
-            pltpu.make_async_copy(
-                g_ref.at[pl.ds(base + bz, 1)],
-                gstage_ref.at[slot, pl.ds(bz, 1)],
-                in_sem.at[slot, bz],
-            ).wait()
+        in_dma(col, slot).wait()
 
     def out_dma(col, slot):
         return pltpu.make_async_copy(
@@ -319,33 +316,31 @@ def _fold_kernel(g_ref, out_ref, gstage_ref, lines_ref, in_sem, out_sem, *,
             wait_in(col, slot)
 
             ZCp = lines_ref.shape[-1]
-            gst = gstage_ref[slot].reshape(nbz * LS, LL)
-            # MXU identity transpose (see the build kernel) — exact at
-            # HIGHEST; contract over the SMALL (121) dim
-            geye = jnp.eye(NLINES, dtype=jnp.float32)
-            M = jax.lax.dot_general(
-                geye, gst[:, :NLINES],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (121, nbz·LS)
-            # overlapping z-window adjoint, dense: 72 rows = 64-row body +
-            # 8-row halo; bodies tile contiguously, halos land 64 lanes
-            # later (lane slices + concat only)
+            gst = gstage_ref[slot].reshape(nbz * LS, LL)[:, :NLINES]
+            # overlapping z-window adjoint in the SUBLANE dim (8-aligned
+            # slices/pads; lane slicing at 72·bz offsets forces lane
+            # rotations), then ONE whole-column MXU transpose
             B = LBZ * TCH
             H = LS - B
             body = jnp.concatenate(
-                [M[:, bz * LS : bz * LS + B] for bz in range(nbz)], axis=1
-            )  # (121, nbz·B)
-            hz = jnp.zeros((NLINES, B - H), jnp.float32)
+                [gst[bz * LS : bz * LS + B] for bz in range(nbz)], axis=0
+            )  # (nbz·B, 121)
+            hz = jnp.zeros((B - H, NLINES), jnp.float32)
             halo_parts = []
             for bz in range(nbz):
-                halo_parts.append(M[:, bz * LS + B : (bz + 1) * LS])
+                halo_parts.append(gst[bz * LS + B : (bz + 1) * LS])
                 halo_parts.append(hz)
-            halo = jnp.concatenate(halo_parts, axis=1)  # (121, nbz·B)
-            lines = jnp.pad(
-                body, ((0, 0), (0, ZCp - nbz * B))
-            ) + jnp.pad(halo, ((0, 0), (B, ZCp - B - nbz * B)))
+            halo = jnp.concatenate(halo_parts, axis=0)  # (nbz·B, 121)
+            linesT = jnp.pad(
+                body, ((0, ZCp - nbz * B), (0, 0))
+            ) + jnp.pad(halo, ((B, ZCp - B - nbz * B), (0, 0)))  # (ZCp, 121)
+            geye = jnp.eye(NLINES, dtype=jnp.float32)
+            lines = jax.lax.dot_general(
+                geye, linesT,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (121, ZCp)
 
             @pl.when(i >= 2)
             def _():
