@@ -92,9 +92,11 @@ def bench_scattered(ior):
     pos, dirs = build_scattered_rays()
 
     def run():
+        # scattered-tuned config: k=16, single residency (the compact
+        # driver's defaults; benchmarks/probe_r5_scattered.py)
         out = march_lines_compact(
             packed, pos, dirs, BUDGET, bend_scale=bend, step_scale=step,
-            k_steps=K_STEPS, phase_windows=64, table=table, nb=nb,
+            k_steps=16, phase_windows=64, table=table, nb=nb,
         )
         return float(jnp.sum(out.end_iteration.astype(jnp.float32)))
 

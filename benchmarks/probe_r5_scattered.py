@@ -37,11 +37,10 @@ d /= np.linalg.norm(d, axis=-1, keepdims=True)
 dirs = jnp.asarray(16.0 * d)
 
 VARIANTS = [
-    ("k32_pw64", dict(k_steps=32, phase_windows=64)),
-    ("k32_pw32", dict(k_steps=32, phase_windows=32)),
-    ("k32_pw128", dict(k_steps=32, phase_windows=128)),
-    ("k16_pw64", dict(k_steps=16, phase_windows=64)),
-    ("k32_pw64_2x", dict(k_steps=32, phase_windows=64, anchor2x=True)),
+    ("dual_k32_pw64", dict(k_steps=32, phase_windows=64)),
+    ("nodual_k32_pw64", dict(k_steps=32, phase_windows=64, dual=False)),
+    ("nodual_k16_pw64", dict(k_steps=16, phase_windows=64, dual=False)),
+    ("dual_k16_pw96", dict(k_steps=16, phase_windows=96)),
 ]
 REPS = 5
 

@@ -1956,7 +1956,7 @@ def march_lines_compact(
     table: Optional[jax.Array] = None,
     nb: Optional[Tuple[int, int, int]] = None,
     anchor2x: Optional[bool] = None,
-    dual: bool = True,
+    dual: bool = False,
 ) -> TraceResult:
     """Two-phase(+) scattered-ray march: march → compact survivors →
     continue (SURVEY.md §7's divergence mitigation), the whole loop in ONE
@@ -1965,7 +1965,13 @@ def march_lines_compact(
     windows, so a scattered batch regains sublane coherence as it marches
     (the min-brick scheduler otherwise serializes a sublane whose 128 rays
     spread over many bricks — measured 0.11-0.13 window-step efficiency vs
-    0.46 sorted, benchmarks/perf_notes.md)."""
+    0.46 sorted, benchmarks/perf_notes.md).
+
+    ``dual`` defaults OFF here, opposite to ``march_lines``: scattered
+    sublanes span MANY bricks, so the second resident slot doubles DMA
+    churn and window cost without covering more lanes — measured 0.099 vs
+    0.066 Gsteps/s on fully random rays (benchmarks/probe_r5_scattered.py;
+    with k_steps=16 the single-residency compact path reaches 0.118)."""
     assert packed.ndim == 4 and packed.shape[-1] == 4
     n_in, dim = start_position.shape
     assert dim == 3
