@@ -32,7 +32,9 @@ from volumeraytracer_tpu.kernels.line_table import build_line_table
 from volumeraytracer_tpu.ops.fields import build_packed_field
 from volumeraytracer_tpu.types import FIX_ONE, STEP_CONST
 
-GRID, N_RAYS, BUDGET, K = 256, 128 * 1024, 512, 32
+import os
+GRID, N_RAYS, BUDGET = 256, 128 * 1024, 512
+K = int(os.environ.get("VRT_PROBE_K", "32"))
 inv = 2.0
 BEND = inv / float(FIX_ONE)
 STEP = inv * (STEP_CONST / float(FIX_ONE) / float(FIX_ONE))
@@ -127,10 +129,11 @@ def sort_stage(p):
     return jax.lax.scan(body, jnp.float32(0.0), None, length=REPS)[1]
 
 
-timed("pack", pack, ior)
-timed("pack_vjp", pack_vjp, ior)
-timed("sort(x2 gather)", sort_stage, pos)
-timed("fwd_kernel", fwd_k, table, pos_s[:, 0])
+if os.environ.get("VRT_PROBE_KERNELS_ONLY", "0") != "1":
+    timed("pack", pack, ior)
+    timed("pack_vjp", pack_vjp, ior)
+    timed("sort(x2 gather)", sort_stage, pos)
+timed(f"fwd_kernel_k{K}", fwd_k, table, pos_s[:, 0])
 
 # adjoint kernel: march once for the end state, then scan the bwd call
 outs = _march_call_lines(
@@ -178,4 +181,4 @@ def bwd_k(table, ax_):
     return jax.lax.scan(body, jnp.float32(0.0), None, length=REPS)[1]
 
 
-timed("bwd_kernel", bwd_k, table, one)
+timed(f"bwd_kernel_k{K}", bwd_k, table, one)
